@@ -1,0 +1,82 @@
+"""Extraction parity: Spark Arrow lane == pure-pandas reference extractor,
+per-turn (the text-equality invariant from BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from sparktax import synth
+from sparktax.extract import (
+    extract_mentions,
+    extract_triples,
+    extract_triples_contextual,
+    reference_extract_pdf,
+)
+
+KEY = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+
+
+def test_statement_grammar_roundtrip():
+    from sparktax.extract.rules import extract_turn
+
+    text = "well Ada_Lovelace works_at Acme_Corp. then note It is_a Thing."
+    assert extract_turn(text) == [
+        ("Ada_Lovelace", "works_at", "Acme_Corp"),
+        ("It", "is_a", "Thing"),
+    ]
+    # filler words can't be predicates; statements need the trailing dot
+    assert extract_turn("Ada works Acme.") == []
+    assert extract_turn("Ada_Lovelace works_at Acme_Corp") == []
+
+
+def test_extract_matches_reference(spark):
+    pdf, gold = synth.gen_transcripts_pdf(n_convs=40, seed=7)
+    tdf = synth.transcripts_to_spark(spark, pdf)
+
+    got = _sorted(extract_triples(tdf).toPandas())
+    ref = _sorted(reference_extract_pdf(pdf))
+    pd.testing.assert_frame_equal(got[KEY], ref[KEY], check_dtype=False)
+
+
+def test_extract_recovers_planted_gold(spark):
+    pdf, gold = synth.gen_transcripts_pdf(n_convs=40, seed=11)
+    tdf = synth.transcripts_to_spark(spark, pdf)
+    got = extract_triples(tdf).toPandas()
+
+    got_set = set(map(tuple, got[KEY].itertuples(index=False)))
+    gold_set = set(map(tuple, gold[KEY].itertuples(index=False)))
+    # recall: every planted statement is recovered
+    assert gold_set <= got_set
+    # precision ≥ 0.95: extraction may legitimately match nothing else at
+    # seed defaults, but allow the grammar to fire on statement-like noise
+    assert len(got_set & gold_set) / max(len(got_set), 1) >= 0.95
+
+
+def test_contextual_matches_reference(spark):
+    pdf, _ = synth.gen_transcripts_pdf(n_convs=30, seed=3)
+    # plant pronoun statements manually in a copy
+    pdf = pdf.copy()
+    mask = pdf.index[::7]
+    pdf.loc[mask, "text"] = pdf.loc[mask, "text"] + " It works_at Globex."
+    tdf = synth.transcripts_to_spark(spark, pdf)
+
+    got = _sorted(extract_triples_contextual(tdf).toPandas())
+    ref = _sorted(reference_extract_pdf(pdf, resolve_pronouns=True))
+    pd.testing.assert_frame_equal(got[KEY], ref[KEY], check_dtype=False)
+
+
+def test_mentions_have_spans(spark):
+    pdf, _ = synth.gen_transcripts_pdf(n_convs=10, seed=5)
+    tdf = synth.transcripts_to_spark(spark, pdf)
+    m = extract_mentions(tdf).toPandas()
+    assert set(m["kind"]) <= {"subj", "obj"}
+    assert (m["span_end"] > m["span_start"]).all()
+    # spans point at the actual surface
+    text_by_turn = pdf.set_index(["conv_id", "turn_idx"]).text
+    for row in m.sample(min(len(m), 50), random_state=0).itertuples(index=False):
+        t = text_by_turn.loc[(row.conv_id, row.turn_idx)]
+        assert t[row.span_start : row.span_end] == row.surface
