@@ -1,0 +1,165 @@
+"""MinHash + LSH blocking, entirely JVM-side (no Python in the hot path).
+
+Pipeline (the SparkER / MinHashLSH pattern):
+
+1. ``shingle``     — character n-grams via ``sequence``+``transform``
+                     (Catalyst array expressions) + ``explode``; one narrow
+                     stage, no Python.
+2. ``minhash_signatures`` — k permutations hᵢ(x) = (aᵢ·x + bᵢ) mod p over
+                     ``xxhash64(shingle)``; one ``groupBy(id)`` computing k
+                     ``min`` aggregates in a single shuffle (map-side
+                     partial aggregation keeps it cheap).
+3. ``lsh_candidate_pairs`` — split the signature into b bands of r rows,
+                     hash each band, self-join on (band, hash). Only
+                     bucket-mates become candidates; the self-join is an
+                     equi-join Catalyst can shuffle-hash, and AQE splits
+                     skewed buckets.
+4. ``exact_jaccard`` — verify candidates with the exact n-gram Jaccard via
+                     a shingle join (no false positives leave the stage).
+
+Used for fuzzy entity linking (canonicalization) *and* for near-duplicate
+document detection (sparktax.textops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps aᵢ·x + bᵢ < 2^62 — no int64 overflow (Spark 4 ANSI mode
+# errors on overflow, so the hash arithmetic must provably fit).
+_MERSENNE = (1 << 31) - 1
+
+
+def shingle(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct character n-grams per row, lowercased.
+
+    Pure Catalyst: substring positions via ``sequence``, gram extraction via
+    ``transform`` — stays inside whole-stage codegen.
+    """
+    norm = F.lower(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), grams.alias("_grams"))
+        .select("id", F.explode("_grams").alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signatures(
+    shingles: DataFrame, k: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig: array<long>) — k-permutation MinHash in ONE groupBy.
+
+    xxhash64 gives a signed 64-bit base hash; each permutation is
+    (a·x + b) mod p with p = 2⁶¹−1, computed on the non-negative residue.
+    """
+    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"_h{i}")
+        for i, (a, b) in enumerate(_hash_params(k, seed))
+    ]
+    wide = shingles.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+    """(a, b) candidate pairs, a < b, deduplicated across bands.
+
+    Rows-per-band r = k / bands; similarity threshold ≈ (1/b)^(1/r).
+    """
+    r_expr = (F.size("sig") / F.lit(bands)).cast("int")
+    buckets = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        bidx, F.slice(F.col("sig"), bidx * r_expr + 1, r_expr)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(a, b, jaccard) — exact n-gram Jaccard for each candidate pair.
+
+    |A∩B| via a join on shingle restricted to candidate pairs; |A|,|B| from
+    a per-id size aggregate (computed once, broadcast — it's one row per id).
+    """
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.select(F.col("id").alias("a"), "shingle")
+    sb = shingles.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .fillna(0, subset=["n_inter"])
+        .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end: shingle → minhash → LSH block → exact-Jaccard verify.
+
+    Returns (a, b, jaccard) with jaccard ≥ threshold, a < b.
+    """
+    sh = shingle(df, text_col, id_col, n=n)
+    sigs = minhash_signatures(sh, k=k, seed=seed)
+    cand = lsh_candidate_pairs(sigs, bands=bands)
+    return exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
