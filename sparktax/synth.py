@@ -245,28 +245,52 @@ def gen_kg_pdf(
 
 def gen_blob_embeddings_pdf(
     tree: dict[str, str] | None = None,
-    per_class: int = 30,
+    per_class: int = 40,
     dim: int = 8,
     seed: int = 42,
-    parent_pull: float = 0.35,
-    noise: float = 0.05,
-) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
-    """Return (dataset, classes, embeddings) frames.
+    spread: float = 2.0,
+    noise: float = 0.04,
+    rho: float = 0.0,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, set[tuple]]:
+    """Return (dataset, classes, embeddings, gold_axioms).
 
-    Centroids are nested hierarchically (child centroid = parent centroid +
-    scaled unit offset) so single/average-linkage HAC groups siblings before
-    cousins, and hard-mapping recovers ``tree`` with direct F1 = 1.0.
+    Geometry designed so hard mapping + nearest-mapped-ancestor recovers
+    ``tree`` exactly (direct F1 = 1.0):
+
+    * leaf class: one tight blob of ``per_class`` points at its centroid;
+    * non-leaf class X with L leaf descendants: ``per_class × L`` points
+      spread uniformly over the leaf-descendant centroids (mirroring
+      DBpedia typing, where a superclass's extension includes its
+      subclasses' instances). Every class then has share 1/depth-ish at
+      every node of its subtree, so F1 = 2p·R/(p+R) with p constant is
+      strictly maximized at R=1 — the X-subtree top node — which is a
+      strict dendrogram ancestor of each child's best node. Optional
+      "bridge" blobs between X and each child get weight ``rho``;
+    * a far-away distractor root Z keeps the true root of the planted tree
+      off the dendrogram root (which hard mapping excludes).
     """
     if tree is None:
         tree = {"B": "A", "C": "A", "D": "B", "E": "B", "F": "C", "G": "C"}
     rng = np.random.RandomState(seed)
+    kids: dict[str, list[str]] = {}
+    for c, p in tree.items():
+        kids.setdefault(p, []).append(c)
+    for p in kids:
+        kids[p].sort()
     roots = sorted(set(tree.values()) - set(tree))
-    names = roots + sorted(tree)
+    names = sorted(set(tree) | set(tree.values())) + ["Z"]
+
     centroid: dict[str, np.ndarray] = {}
     for r_i, r in enumerate(roots):
         v = np.zeros(dim)
-        v[r_i % dim] = 4.0
+        v[(2 * r_i) % dim] = 4.0
         centroid[r] = v
+    zv = np.zeros(dim)
+    zv[:] = -6.0
+    centroid["Z"] = zv
+
+    def levels(c: str) -> int:
+        return 0 if c in roots or c == "Z" else 1 + levels(tree[c])
 
     def centroid_of(c: str) -> np.ndarray:
         if c in centroid:
@@ -274,13 +298,20 @@ def gen_blob_embeddings_pdf(
         parent_c = centroid_of(tree[c])
         off = rng.randn(dim)
         off /= np.linalg.norm(off)
-        centroid[c] = parent_c + parent_pull * off * (2.0 if tree[c] in roots else 1.0)
+        centroid[c] = parent_c + off * spread / (2.0 ** (levels(c) - 1))
         return centroid[c]
 
     for c in names:
         centroid_of(c)
 
-    leaf_classes = sorted(set(tree) - set(tree.values()))
+    def leaf_descendants(c: str) -> list[str]:
+        if c not in kids:
+            return [c]
+        out: list[str] = []
+        for ch in kids[c]:
+            out.extend(leaf_descendants(ch))
+        return out
+
     classes = pd.DataFrame(
         {"class_id": np.arange(len(names), dtype=np.int32), "class_name": names}
     )
@@ -288,11 +319,27 @@ def gen_blob_embeddings_pdf(
 
     rows, vecs = [], []
     sid = 0
-    for c in leaf_classes:
-        for _ in range(per_class):
-            rows.append((sid, 100_000 + sid, int(cls_id[c])))
-            vecs.append(centroid[c] + noise * rng.randn(dim))
-            sid += 1
+    for c in names:
+        comps: list[np.ndarray] = []
+        w: list[float] = []
+        leaves = leaf_descendants(c) if c in kids else [c]
+        if c in kids:  # non-leaf: leaf-descendant blobs (+ optional bridges)
+            for lf in leaves:
+                comps.append(centroid[lf])
+                w.append((1.0 - rho) / len(leaves))
+            if rho > 0:
+                for ch in kids[c]:
+                    comps.append(0.5 * (centroid[c] + centroid[ch]))
+                    w.append(rho / len(kids[c]))
+        else:
+            comps.append(centroid[c])
+            w.append(1.0)
+        counts = rng.multinomial(per_class * len(leaves), np.asarray(w) / np.sum(w))
+        for comp, cnt in zip(comps, counts):
+            for _ in range(cnt):
+                rows.append((sid, 100_000 + sid, int(cls_id[c])))
+                vecs.append(comp + noise * rng.randn(dim))
+                sid += 1
     dataset = pd.DataFrame(rows, columns=["sample_id", "entity_id", "class_id"]).astype(
         {"class_id": "int32"}
     )
@@ -302,4 +349,5 @@ def gen_blob_embeddings_pdf(
             "vector": [v.astype(np.float32).tolist() for v in vecs],
         }
     )
-    return dataset, classes, embeddings
+    gold = set(tree.items())
+    return dataset, classes, embeddings, gold
