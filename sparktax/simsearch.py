@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`cosine_topk` — brute-force exact top-k, pure Catalyst
+  (``zip_with`` dot product + window rank). Baseline and oracle target.
+* :func:`lsh_topk` — random-hyperplane (sign-LSH) bucketed ANN: linear
+  signature pass, candidates from Hamming-band equi-join, exact rerank.
+  The 100 TB path: no cross join ever materializes.
+
+Scores are rounded to 6 decimals so results hash identically across
+engines (float-sum order differences live below that).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_similarity_expr(a, b):
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(0.0)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, score, rank) — exact top-k cosine neighbors
+    for each query row (excluding self). ``queries`` has the same schema as
+    ``embeddings`` and is small → broadcast against the corpus (a narrow
+    scan, no shuffle of the corpus)."""
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        cand.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity_expr(F.col("_qv"), F.col("_cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sig) — sign pattern of ``n_planes`` seeded random projections,
+    packed into a long. Computed as Catalyst expressions over a literal
+    plane matrix (no Python in the path)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return embeddings.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
+    band with the query (Hamming-style blocking), exact cosine rerank on
+    candidates only."""
+    bits = n_planes // n_bands
+    mask = (1 << bits) - 1
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned("sig", bits * i)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.key")
+
+    corpus_sig = banded(hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col))
+    query_sig = banded(hyperplane_signatures(queries, dim, n_planes, seed, id_col, vec_col))
+    cand_ids = (
+        corpus_sig.alias("c")
+        .join(broadcast(query_sig.alias("q")), ["band", "key"])
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    qv = broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        cand_ids.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity_expr(F.col("_qv"), F.col("_cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def centroid_per_label(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, centroid, radius) — mean vector per label + RMS distance
+    (reference spheroid centroids, libs/separability/data.py:31-57 and
+    libs/ristoski.py:68-81) via posexplode + groupBy, no UDF."""
+    exploded = embeddings.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    means = (
+        exploded.groupBy(label_col, "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy(label_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm")
+        )
+        .select(
+            label_col,
+            F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+    with_c = embeddings.join(means, label_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        with_c.groupBy(label_col, "centroid")
+        .agg(F.sqrt(F.avg(d2)).alias("radius"))
+        .select(label_col, "centroid", "radius")
+    )

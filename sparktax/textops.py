@@ -1,0 +1,289 @@
+"""Text / training-data pipeline operators over a ``documents`` table
+(doc_id, text, ...): deduplication family, language ID, quality scoring,
+token counting, fingerprinting.
+
+All hot paths are Catalyst expressions (JVM, whole-stage codegen); the only
+Arrow UDF is SimHash (per-bit majority vote doesn't vectorize well in SQL).
+Each operator is designed to scale: dedup families avoid the O(n²)
+self-join via hash grouping (exact) or shingle/LSH blocking (near-dup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparktax.link.minhash import exact_jaccard, fuzzy_match_pairs, shingle
+
+# --------------------------------------------------------------------------
+# normalization + fingerprints
+# --------------------------------------------------------------------------
+
+
+def normalized_text(col):
+    """Casefold, strip non-word chars, collapse whitespace — the dedup key."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\w\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — md5 of the normalized text (content-defined exact
+    fingerprint; stable across engines)."""
+    return documents.select(
+        "doc_id", F.md5(normalized_text(F.col(text_col))).alias("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, canonical_doc_id, n_copies) for every duplicate group with >1
+    member. Exact dedup = one hash groupBy — no self-join, no shuffle of
+    text bytes (only the 32-char fp)."""
+    fp = fingerprint(documents, text_col)
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per identical normalized text."""
+    fp = fingerprint(documents, text_col)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keep = (
+        documents.join(fp, "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "fp")
+    )
+    return keep
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, jaccard) — EXACT n-gram Jaccard ≥ threshold for all pairs.
+
+    Exactness without the O(n²) cross join: two docs with jaccard > 0 share
+    ≥1 shingle, so the shingle equi-join enumerates every candidate pair;
+    hot shingles are bounded by ``n``-gram entropy (and AQE splits skewed
+    buckets). This is the oracle-checkable near-dup path; the MinHash/LSH
+    path below is the probabilistic scale path.
+    """
+    sh = shingle(documents.select(F.col(id_col).alias("id"), text_col), text_col, "id", n=n)
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    return exact_jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, jaccard) — MinHash/LSH-blocked near-dup pairs, exact-verified.
+
+    The 100 TB path: signature cost is linear, candidate generation is an
+    equi-join on (band, bucket), and only candidates pay the exact-Jaccard
+    verify. Recall is probabilistic (≈1−(1−t^r)^b)."""
+    return fuzzy_match_pairs(
+        documents.select(F.col(id_col).alias("_id"), text_col),
+        text_col,
+        "_id",
+        threshold=threshold,
+        n=n,
+        k=k,
+        bands=bands,
+    )
+
+
+def simhash(documents: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) — token-level SimHash via an Arrow-batched kernel.
+
+    Per-bit majority over token hashes; near-dups differ in few bits
+    (dedup by hamming distance ≤ 3 via 4-band exact-match blocking,
+    :func:`simhash_near_duplicates`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        masks = (1 << np.arange(bits, dtype=np.uint64))
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            texts = pdf[text_col].fillna("")
+            for i, t in enumerate(texts.values):
+                toks = t.lower().split()
+                if not toks:
+                    continue
+                # deterministic 64-bit token hashes (FNV-1a, numpy)
+                hs = np.array(
+                    [_fnv1a(tok) for tok in toks], dtype=np.uint64
+                )
+                votes = ((hs[:, None] & masks[None, :]) != 0).sum(axis=0)
+                maj = votes * 2 > len(toks)
+                out[i] = np.sum(masks[maj], dtype=np.uint64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": out.astype(np.int64)}
+            )
+
+    return documents.select("doc_id", text_col).mapInPandas(
+        gen, schema="doc_id long, simhash long"
+    )
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(a, b, hamming) — pairs within ``max_hamming`` bits, found by
+    16-bit-band exact-match blocking (pigeonhole: ≤3 differing bits ⇒ ≥1 of
+    4 bands identical) then verified."""
+    sh = simhash(documents, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# language ID / quality / tokens
+# --------------------------------------------------------------------------
+
+# tiny marker lexicons (n-gram/stopword heuristic). Deterministic and
+# SQL-expressible so the DuckDB oracle can replicate them.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "et", "de", "est", "que", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "para"],
+}
+
+
+def tokens_expr(col):
+    return F.split(normalized_text(col), " ")
+
+
+def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) — argmax of marker-word hits;
+    'und' (undetermined) when no marker matches. Ties: lexicographic lang
+    order, deterministic."""
+    toks = tokens_expr(F.col(text_col))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(lang)
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = documents.select("doc_id", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(lang) == best, F.lit(lang))
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), best.cast("int").alias("lang_hits")
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, quality) — cheap quality heuristics entirely in SQL.
+
+    quality ∈ [0,1]: penalizes too-short docs, extreme punctuation, and
+    stopword-free (likely non-linguistic) text."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_expr(txt)
+    n_chars = F.length(txt)
+    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    punct = F.length(txt) - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(all_stop))
+    )
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0)
+    avg_tok = F.when(n_tokens > 0, (F.length(F.array_join(toks, ""))) / n_tokens).otherwise(0.0)
+    quality = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens) — whitespace tokens and a
+    BPE-ish regex count (letter runs, single digits, punctuation marks —
+    a cheap proxy for subword token cost)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), 0))
+    return documents.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )

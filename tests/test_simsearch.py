@@ -1,0 +1,97 @@
+"""Similarity search on the real embeddings table: brute force vs numpy
+oracle; LSH recall vs brute force; centroids vs numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparktax.simsearch import centroid_per_label, cosine_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _numpy_topk(E, ids, qids, k):
+    M = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = {}
+    id_pos = {v: i for i, v in enumerate(ids)}
+    for q in qids:
+        sims = M @ M[id_pos[q]]
+        sims[id_pos[q]] = -np.inf
+        order = np.lexsort((ids, -np.round(sims, 6)))
+        out[q] = [(ids[i], round(float(sims[i]), 6)) for i in order[:k]]
+    return out
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    pdf = emb.toPandas()
+    E = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    queries = emb.orderBy("vec_id").limit(5)
+    got = cosine_topk(emb, queries, k=4).toPandas()
+    want = _numpy_topk(E, ids, sorted(ids)[:5], 4)
+    for q, pairs in want.items():
+        rows = got[got.query_id == q].sort_values("rank")
+        assert list(rows.neighbor_id) == [p[0] for p in pairs]
+        np.testing.assert_allclose(rows.score.to_numpy(), [p[1] for p in pairs], atol=2e-6)
+
+
+def test_lsh_topk_recall(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    approx = lsh_topk(emb, queries, dim=dim, k=3, n_planes=16, n_bands=8).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    # sign-LSH with 8 bands of 2 bits is high-recall at small scale
+    assert len(a & e) / len(e) >= 0.7
+
+
+def test_centroids_vs_numpy(spark, emb):
+    got = centroid_per_label(emb).toPandas()
+    pdf = emb.toPandas()
+    for r in got.itertuples(index=False):
+        sub = np.stack(pdf[pdf.label == r.label].embedding.to_numpy()).astype(np.float64)
+        np.testing.assert_allclose(np.array(r.centroid), sub.mean(axis=0), atol=1e-6)
+        d = np.linalg.norm(sub - sub.mean(axis=0), axis=1)
+        assert r.radius == pytest.approx(np.sqrt((d**2).mean()), abs=1e-6)
+
+
+def test_multimodal_plumbing(spark):
+    from sparktax.multimodal import (
+        MEDIA,
+        extract_features,
+        gen_media_pdf,
+        resize_metadata,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(gen_media_pdf(30), schema=MEDIA)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert feats.feature.map(len).eq(16).all()
+    assert (feats.n_bytes > 0).all()
+    # deterministic
+    feats2 = extract_features(media).toPandas()
+    assert feats.sort_values("media_id").feature.map(tuple).tolist() == \
+        feats2.sort_values("media_id").feature.map(tuple).tolist()
+
+    frames = sample_frames(media, every_ms=5000, max_frames=4).toPandas()
+    assert set(frames.media_id).issubset(set(media.filter("kind='video'").toPandas().media_id))
+    assert frames.frame.map(len).eq(16).all()
+    assert frames.groupby("media_id").frame_idx.max().le(3).all()
+
+    rz = resize_metadata(media, max_side=32).toPandas()
+    assert (rz[["target_width", "target_height"]].max(axis=1) <= 32).all()
+
+    # the real decoder is an explicit stub
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        extract_features(media, decoder="real").collect()

@@ -1,0 +1,130 @@
+"""Training-data ops: dedup family, simhash, lang-id, quality, tokens —
+pandas/python oracles on small frames + the real sf0.001 documents table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sparktax import textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _py_norm(s: str) -> str:
+    import re
+
+    s = re.sub(r"[^\w\s]", " ", s.lower())
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def test_exact_duplicates(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["Hello  World", "hello world!", "other", "OTHER", "unique"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = textops.exact_duplicates(df).toPandas()
+    assert len(got) == 2
+    assert set(got.canonical_doc_id) == {1, 3}
+    assert set(got.n_copies) == {2}
+    kept = textops.dedup_exact(df).toPandas()
+    assert sorted(kept.doc_id) == [1, 3, 5]
+
+
+def test_ngram_jaccard_pairs_exact(spark, docs):
+    # plant a near-dup pair in real docs
+    two = docs.limit(1).toPandas()
+    base = two.text.iloc[0]
+    pdf = pd.DataFrame(
+        {"doc_id": [900001, 900002, 900003], "text": [base, base + " xyz", "zq " * 30]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = textops.ngram_jaccard_pairs(df, threshold=0.8).toPandas()
+    assert (900001, 900002) in set(zip(got.a, got.b))
+
+    # oracle the jaccard value
+    def sh(s, n=3):
+        s = s.lower()
+        return {s[i : i + n] for i in range(max(len(s) - n + 1, 1))}
+
+    want = len(sh(base) & sh(base + " xyz")) / len(sh(base) | sh(base + " xyz"))
+    row = got[(got.a == 900001) & (got.b == 900002)].iloc[0]
+    assert row.jaccard == pytest.approx(want)
+
+
+def test_minhash_vs_exact_recall(spark, docs):
+    """LSH near-dup finds the planted high-similarity pairs the exact path
+    finds (at jaccard ≥ 0.9 recall should be ~1 with 32 bands)."""
+    pdf = docs.limit(30).toPandas()[["doc_id", "text"]]
+    dups = pdf.copy()
+    dups["doc_id"] = dups["doc_id"] + 1_000_000
+    dups["text"] = dups["text"] + " x"
+    both = spark.createDataFrame(pd.concat([pdf, dups]))
+    exact = textops.ngram_jaccard_pairs(both, threshold=0.9, n=5)
+    lsh = textops.minhash_near_duplicates(both, threshold=0.9, n=5, k=128, bands=32)
+    e = set(zip(*exact.select("a", "b").toPandas().to_numpy().T.tolist()))
+    l = set(zip(*lsh.select("a", "b").toPandas().to_numpy().T.tolist()))
+    assert e, "exact path found nothing — fixture broken"
+    assert len(l & e) / len(e) >= 0.95
+    assert l <= e  # verify step removes all false positives
+
+
+def test_simhash_hamming(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again today",
+                "completely different words entirely unrelated content here now",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sh = textops.simhash(df).toPandas().set_index("doc_id")["simhash"]
+    ham12 = bin(np.uint64(sh[1]) ^ np.uint64(sh[2])).count("1")
+    ham13 = bin(np.uint64(sh[1]) ^ np.uint64(sh[3])).count("1")
+    assert ham12 < ham13
+    pairs = textops.simhash_near_duplicates(df, max_hamming=ham12).toPandas()
+    assert (1, 2) in set(zip(pairs.a, pairs.b))
+
+
+def test_language_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog is in that house",
+                "le chat et la maison est que une belle",
+                "zzz qqq www",
+            ],
+        }
+    )
+    got = textops.language_id(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert got.loc[1, "lang_pred"] == "en"
+    assert got.loc[2, "lang_pred"] == "fr"
+    assert got.loc[3, "lang_pred"] == "und"
+
+
+def test_quality_and_tokens(spark, docs):
+    q = textops.quality_score(docs).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1.0 + 1e-9)).all()
+    t = textops.token_counts(docs).toPandas()
+    sample = docs.limit(20).toPandas()
+    tmap = t.set_index("doc_id")
+    for r in sample.itertuples(index=False):
+        assert tmap.loc[r.doc_id, "ws_tokens"] == len(r.text.split())
+    # n_chars matches the real column
+    qmap = q.set_index("doc_id")
+    for r in sample.itertuples(index=False):
+        assert qmap.loc[r.doc_id, "n_chars"] == len(r.text)
