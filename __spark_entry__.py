@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline at sf0.001: synthesize transcript
+turns from lineitem rows, run the zero-shuffle Arrow extraction, dictionary
+-encode into a KG, and aggregate class sizes.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2), DuckDB-checkable at sf0.01. Column names/aliases are
+aligned pairwise; scores are rounded so value hashes match across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +14,701 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# offsets giving disjoint node-id spaces for the KG derived from TPC-H
+C_OFF = 1_000_000  # customers
+N_OFF = 2_000_000  # nations
+R_OFF = 3_000_000  # regions
+S_OFF = 4_000_000  # suppliers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# derived fixtures (same definition lives in the oracle SQL)
+# --------------------------------------------------------------------------
+
+
+def _transcripts_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript turns: one turn per lineitem row whose text
+    embeds a 'S<suppkey> supplies_part P<partkey>.' statement."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_linenumber").cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.lit("ok ran tool S"),
+            F.col("l_suppkey"),
+            F.lit(" supplies_part P"),
+            F.col("l_partkey"),
+            F.lit(". done"),
+        ).alias("text"),
+        F.lit("kg_lookup").alias("tool"),
+        F.col("l_shipdate").alias("ts"),
+    )
+
+
+def _kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h, r, t): customer --in_nation(0)--> nation --in_region(1)--> region,
+    order --placed_by(2)--> customer, supplier --in_nation(0)--> nation."""
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + C_OFF).alias("h"),
+        F.lit(0).cast("long").alias("r"),
+        (F.col("c_nationkey").cast("long") + N_OFF).alias("t"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + N_OFF).alias("h"),
+        F.lit(1).cast("long").alias("r"),
+        (F.col("n_regionkey").cast("long") + R_OFF).alias("t"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + S_OFF).alias("h"),
+        F.lit(0).cast("long").alias("r"),
+        (F.col("s_nationkey").cast("long") + N_OFF).alias("t"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") + 10_000_000).alias("h"),
+        F.lit(2).cast("long").alias("r"),
+        (F.col("o_custkey") + C_OFF).alias("t"),
+    )
+    return cust.union(nat).union(supp).union(orders)
+
+
+_KG_SQL = f"""
+    SELECT c_custkey + {C_OFF} AS h, 0::BIGINT AS r,
+           c_nationkey::BIGINT + {N_OFF} AS t FROM customer
+    UNION ALL
+    SELECT n_nationkey::BIGINT + {N_OFF}, 1, n_regionkey::BIGINT + {R_OFF} FROM nation
+    UNION ALL
+    SELECT s_suppkey + {S_OFF}, 0, s_nationkey::BIGINT + {N_OFF} FROM supplier
+    UNION ALL
+    SELECT o_orderkey + 10000000, 2, o_custkey + {C_OFF} FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """sf0.001 flagship: transcripts → triples → KG encode → class sizes."""
+    from sparktax.extract import extract_triples
+    from sparktax.graph import KnowledgeGraph
+
+    sf_dir = "/root/testdata/sf0.001"
+    transcripts = _transcripts_from_lineitem(spark, sf_dir)
+    raw = extract_triples(transcripts)
+    kg = KnowledgeGraph.from_raw_triples(
+        raw.select("subj", "pred", "obj"), isa_uri="supplies_part"
+    )
+    sizes = kg.class_sizes(valid_only=False)
+    return (
+        sizes.join(kg.entities.withColumnRenamed("id", "t"), "t")
+        .select(F.col("uri").alias("part"), F.col("n_instances").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), F.asc("part"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+
+def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-extract: zero-shuffle Arrow statement extraction (parity vs SQL)."""
+    from sparktax.extract import extract_triples
+
+    return extract_triples(_transcripts_from_lineitem(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+
+
+def q_kg_class_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20: members per nation over the derived KG (isa = relation 0)."""
+    from sparktax.graph import KnowledgeGraph
+
+    spark_triples = _kg_triples(spark, sf_dir)
+    kg = KnowledgeGraph(spark_triples, None, None)
+    kg._isa_id = 0
+    return kg.class_sizes(valid_only=False).select(
+        F.col("t").alias("class_node"), "n_instances"
+    )
+
+
+def q_kg_pattern_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: triple-pattern (*, r=0, t=nation7) via pushdown filter."""
+    from sparktax.graph import KnowledgeGraph
+
+    kg = KnowledgeGraph(_kg_triples(spark, sf_dir), None, None)
+    return kg.find_triples(r=0, t=N_OFF + 7).select("h", "r", "t")
+
+
+def q_kg_existential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O17: extension of ∃placed_by.(nation_3 customers) — orders whose
+    customer is in nation 3 (the 2-hop self-join)."""
+    from sparktax.graph import KnowledgeGraph
+
+    kg = KnowledgeGraph(_kg_triples(spark, sf_dir), None, None)
+    kg._isa_id = 0
+    return kg.instances_of_existential(2, N_OFF + 3).select(F.col("h").alias("order_node"))
+
+
+def q_kg_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12: 1-hop in/out adjacency of nation 3, exploded + sorted."""
+    from sparktax.graph import KnowledgeGraph
+
+    kg = KnowledgeGraph(_kg_triples(spark, sf_dir), None, None)
+    nb = kg.neighborhood(N_OFF + 3)
+    return nb.select(
+        "direction", "r", F.explode("neighbors").alias("neighbor")
+    )
+
+
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (large-star/small-star) over customer→nation→
+    region edges: every node lands in its region's component, whose id is
+    the min customer key in that region."""
+    from sparktax.link import connected_components
+
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + C_OFF).alias("src"),
+        (F.col("c_nationkey").cast("long") + N_OFF).alias("dst"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey").cast("long") + N_OFF).alias("src"),
+        (F.col("n_regionkey").cast("long") + R_OFF).alias("dst"),
+    )
+    return connected_components(cust.union(nat)).select("node", "component")
+
+
+def q_link_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dictionary entity linking: supplier-name mentions against
+    a (surface, entity_id, prior) dictionary from the supplier table."""
+    from sparktax.link import link_mentions
+
+    supp = _t(spark, sf_dir, "supplier")
+    mentions = supp.select(
+        F.col("s_suppkey").alias("mention_id"),
+        F.upper(F.col("s_name")).alias("surface"),
+    )
+    cand = supp.select(
+        F.col("s_name").alias("surface"),
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("prior"),
+    )
+    return link_mentions(mentions, cand).select(
+        "mention_id", "entity_id", F.round("prior", 2).alias("prior")
+    )
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup fingerprints: md5 over normalized text (per doc)."""
+    from sparktax.textops import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: canonical id + copy count per fingerprint."""
+    from sparktax.textops import fingerprint
+
+    fp = fingerprint(_t(spark, sf_dir, "documents"))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard pairs ≥ 0.5 among the first 200 docs
+    (the oracle-checkable near-dup path; MinHash/LSH is the scale path)."""
+    from sparktax.textops import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparktax.textops import language_id
+
+    return language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", "lang_hits"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparktax.textops import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens"
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparktax.textops import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-4 cosine neighbors of the first 5 vectors."""
+    from sparktax.simsearch import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return cosine_topk(emb, queries, k=4).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-agg (TPC-H Q1 shape): returnflag/linestatus pricing summary."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O38: top-3 orders by totalprice per orderpriority."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: broadcast dim decode — customers with nation/region names."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O43-45: customers with orders minus low-balance ones (anti/except)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    low = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return with_orders.exceptAll(low).distinct()
+
+
+def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28: histogram of events.value in width-50 buckets per event_type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.floor(F.col("value") / 50).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graft windows: per-user inter-event gap via lag over (ts, event_id)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; cast through TIMESTAMP (session tz
+    # is pinned to UTC in the session factory) for unix_micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(prev.isNotNull(), (us - prev) / 1_000_000.0)
+        .otherwise(None)
+        .alias("gap_s"),
+    ).select("user_id", "event_id", F.round("gap_s", 6).alias("gap_s"))
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O49: contains-scan with deterministic order + limit."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.lower(F.col("p_name")).contains("red"))
+        .orderBy("p_partkey")
+        .limit(100)
+        .select("p_partkey", "p_name")
+    )
+
+
+def q_safe_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O50: zero-guarded division — per-nation positive-balance ratio."""
+    c = _t(spark, sf_dir, "customer")
+    agg = c.groupBy("c_nationkey").agg(
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("pos"),
+        F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("rich"),
+    )
+    return agg.select(
+        "c_nationkey",
+        F.round(
+            F.when(F.col("pos") == 0, 0.0).otherwise(F.col("rich") / F.col("pos")), 6
+        ).alias("rich_ratio"),
+    )
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O54: seeded xxhash64 sampling (rows-only check: no SQL equivalent)."""
+    from sparktax.graph import KnowledgeGraph
+
+    kg = KnowledgeGraph(_kg_triples(spark, sf_dir), None, None)
+    kg._isa_id = 0
+    return kg.sample_instances(50, cls=N_OFF + 1, seed=7)
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup scale path (rows-only: engine-specific hashes)."""
+    from sparktax.textops import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return minhash_near_duplicates(docs, threshold=0.5, n=3, k=64, bands=16)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (rows-only: FNV hashing in the Arrow kernel)."""
+    from sparktax.textops import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (rows-only: recall is probabilistic)."""
+    from sparktax.simsearch import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.orderBy("vec_id").limit(5)
+    return lsh_topk(emb, queries, dim=dim, k=4)
+
+
+def q_taxonomy_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden taxonomy extraction on planted blobs (rows-only: the HAC +
+    Hungarian pipeline has no SQL equivalent). Returns the recovered
+    (child, parent) edges — exactness is asserted in pytest."""
+    from sparktax.extraction.pipeline import extract_taxonomy
+    from sparktax.synth import gen_blob_embeddings_pdf
+
+    dataset, classes, emb, gold = gen_blob_embeddings_pdf(per_class=30, seed=42)
+    got = extract_taxonomy(
+        spark.createDataFrame(dataset),
+        spark.createDataFrame(emb),
+        classes=spark.createDataFrame(classes),
+        method="hard",
+    )
+    return spark.createDataFrame(sorted(got), "child string, parent string")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_triples": q_extract_triples,
+        "kg_class_sizes": q_kg_class_sizes,
+        "kg_pattern_lookup": q_kg_pattern_lookup,
+        "kg_existential": q_kg_existential,
+        "kg_neighborhood": q_kg_neighborhood,
+        "components": q_components,
+        "link_mentions": q_link_mentions,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "dedup_groups": q_dedup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "language_id": q_language_id,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "cosine_topk": q_cosine_topk,
+        "agg_pricing": q_agg_pricing,
+        "topk_window": q_topk_window,
+        "join_dims": q_join_dims,
+        "set_ops": q_set_ops,
+        "bucketed_agg": q_bucketed_agg,
+        "events_lag": q_events_lag,
+        "substring_search": q_substring_search,
+        "safe_divide": q_safe_divide,
+        "sample_deterministic": q_sample_deterministic,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+        "taxonomy_blobs": q_taxonomy_blobs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+def _lang_sql() -> str:
+    from sparktax.textops import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    toks = f"string_split({_NORM.format(c='text')}, ' ')"
+    scores = ", ".join(
+        f"len(list_intersect({toks}, {LANG_MARKERS[lang]!r})) AS {lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join(langs)})"
+    case = " ".join(f"WHEN {lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH scored AS (SELECT doc_id, {scores} FROM documents),
+        b AS (SELECT *, {best} AS best FROM scored)
+        SELECT doc_id,
+               CASE WHEN best <= 0 THEN 'und' {case} END AS lang_pred,
+               best::INT AS lang_hits
+        FROM b
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sparktax.textops import LANG_MARKERS
+
+    all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    norm = _NORM.format(c="text")
+    return {
+        "extract_triples": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS conv_id,
+                   l_linenumber AS turn_idx,
+                   'S' || l_suppkey AS subj,
+                   'supplies_part' AS pred,
+                   'P' || l_partkey AS obj
+            FROM lineitem
+        """,
+        "kg_class_sizes": f"""
+            WITH triples AS ({_KG_SQL})
+            SELECT t AS class_node, count(*) AS n_instances
+            FROM triples WHERE r = 0 GROUP BY t
+        """,
+        "kg_pattern_lookup": f"""
+            WITH triples AS ({_KG_SQL})
+            SELECT h, r, t FROM triples WHERE r = 0 AND t = {N_OFF + 7}
+        """,
+        "kg_existential": f"""
+            SELECT DISTINCT o_orderkey + 10000000 AS order_node
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey = 3
+        """,
+        "kg_neighborhood": f"""
+            WITH triples AS ({_KG_SQL})
+            SELECT 'out' AS direction, r, t AS neighbor
+            FROM triples WHERE h = {N_OFF + 3}
+            UNION ALL
+            SELECT 'in', r, h FROM triples WHERE t = {N_OFF + 3}
+        """,
+        "components": f"""
+            WITH nodes AS (
+                SELECT c_custkey + {C_OFF} AS node,
+                       c_nationkey AS nk FROM customer
+                UNION ALL
+                SELECT n_nationkey + {N_OFF}, n_nationkey FROM nation
+                UNION ALL
+                SELECT r_regionkey + {R_OFF}, n_nationkey
+                FROM region JOIN nation ON n_regionkey = r_regionkey
+            ),
+            comp AS (
+                SELECT n_nationkey AS nk,
+                       min(c_custkey + {C_OFF}) OVER (PARTITION BY n_regionkey)
+                       AS component
+                FROM nation JOIN customer ON c_nationkey = n_nationkey
+                QUALIFY row_number() OVER (PARTITION BY n_nationkey
+                                           ORDER BY c_custkey) = 1
+            )
+            SELECT DISTINCT nodes.node, comp.component
+            FROM nodes JOIN comp ON nodes.nk = comp.nk
+        """,
+        "link_mentions": """
+            SELECT m.mention_id, c.entity_id, round(c.prior, 2) AS prior
+            FROM (SELECT s_suppkey AS mention_id,
+                         trim(regexp_replace(regexp_replace(lower(upper(s_name)),
+                              '[_\\-\\s]+', ' ', 'g'), '[^\\w ]', '', 'g'))
+                         AS key FROM supplier) m
+            JOIN (SELECT trim(regexp_replace(regexp_replace(lower(s_name),
+                              '[_\\-\\s]+', ' ', 'g'), '[^\\w ]', '', 'g'))
+                         AS key,
+                         s_suppkey AS entity_id, s_acctbal AS prior
+                  FROM supplier) c
+            ON m.key = c.key
+            QUALIFY row_number() OVER (PARTITION BY m.mention_id
+                                       ORDER BY c.prior DESC, c.entity_id) = 1
+        """,
+        "dedup_fingerprint": f"""
+            SELECT doc_id, md5({norm}) AS fp FROM documents
+        """,
+        "dedup_groups": f"""
+            SELECT md5({norm}) AS fp,
+                   min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                       WHERE doc_id < 200),
+            sh AS (
+                SELECT DISTINCT doc_id AS id, substr(t, i, 3) AS shingle
+                FROM d, LATERAL (SELECT unnest(range(1,
+                     greatest(length(t) - 2, 1) + 1)) AS i)
+                WHERE length(substr(t, i, 3)) > 0
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            inter AS (
+                SELECT x.id AS a, y.id AS b, count(*) AS ni
+                FROM sh x JOIN sh y USING (shingle)
+                WHERE x.id < y.id GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(ni / (sa.n + sb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = a
+            JOIN sizes sb ON sb.id = b
+            WHERE ni / (sa.n + sb.n - ni) >= 0.5
+        """,
+        "language_id": _lang_sql(),
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split(coalesce(text, ''),
+                       ' '), x -> x <> '' AND x <> chr(9)))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT
+                       AS bpe_ish_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS txt,
+                       list_filter(string_split({norm}, ' '), x -> x <> '')
+                           AS toks
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       length(txt) AS n_chars,
+                       len(toks) AS n_tokens,
+                       length(txt) - length(regexp_replace(txt,
+                           '[^\\w\\s]', '', 'g')) AS punct,
+                       len(list_filter(toks,
+                           x -> list_contains({all_stop!r}, x))) AS stop_hits
+                FROM b
+            )
+            SELECT doc_id, n_chars::BIGINT AS n_chars,
+                   n_tokens::BIGINT AS n_tokens,
+                   round(CASE WHEN n_chars > 0
+                         THEN punct / n_chars ELSE 0 END, 6) AS punct_ratio,
+                   round(CASE WHEN n_tokens > 0
+                         THEN stop_hits / n_tokens ELSE 0 END, 6)
+                         AS stopword_ratio,
+                   round(least(n_tokens / 20.0, 1.0) * 0.4
+                         + (1.0 - least(CASE WHEN n_chars > 0
+                              THEN punct / n_chars ELSE 0 END * 4, 1.0)) * 0.3
+                         + least(CASE WHEN n_tokens > 0
+                              THEN stop_hits / n_tokens ELSE 0 END * 5,
+                              1.0) * 0.3, 6) AS quality
+            FROM m
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(
+                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                           AS score
+                FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored
+            QUALIFY rank <= 4
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "topk_window": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders
+            QUALIFY rk <= 3
+        """,
+        "join_dims": """
+            SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_acctbal > 9000
+        """,
+        "set_ops": """
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+              AND c_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        """,
+        "bucketed_agg": """
+            SELECT event_type, floor(value / 50)::BIGINT AS bucket,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_lag": """
+            SELECT user_id, event_id,
+                   round(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) / 1000000.0, 6) AS gap_s
+            FROM events
+        """,
+        "substring_search": """
+            SELECT p_partkey, p_name FROM part
+            WHERE lower(p_name) LIKE '%red%'
+            ORDER BY p_partkey LIMIT 100
+        """,
+        "safe_divide": """
+            WITH a AS (
+                SELECT c_nationkey,
+                       count(CASE WHEN c_acctbal > 0 THEN 1 END) AS pos,
+                       count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS rich
+                FROM customer GROUP BY 1
+            )
+            SELECT c_nationkey,
+                   round(CASE WHEN pos = 0 THEN 0.0
+                         ELSE rich::DOUBLE / pos END, 6) AS rich_ratio
+            FROM a
+        """,
+        # sample_deterministic, minhash_neardup, simhash, lsh_topk,
+        # taxonomy_blobs: intentionally omitted (non-SQL-expressible /
+        # engine-specific hashing) → driver rows-only check.
+    }

@@ -1,0 +1,79 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>,
+     "triples_per_sec": <extraction throughput>}
+
+The extraction query is the north-star metric (triples/sec); the rest cover
+the KG, linking, dedup, similarity and window lanes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from sparktax.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "extract_triples",
+    "kg_class_sizes",
+    "kg_existential",
+    "components",
+    "link_mentions",
+    "dedup_groups",
+    "minhash_neardup",
+    "cosine_topk",
+    "agg_pricing",
+    "topk_window",
+    "events_lag",
+    "taxonomy_blobs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app="sparktax-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    # warm-up: JVM/codegen/Arrow init on a trivial job (not timed)
+    qs["kg_class_sizes"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    n_triples = 0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        if name == "extract_triples":
+            n_triples = n
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "sparktax_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "triples_per_sec": round(n_triples / times["extract_triples"], 1)
+        if times.get("extract_triples")
+        else None,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,338 @@
+"""Expressive taxonomy extraction: class-*expression* trees over a KG
+(reference ExpressiveExtractor, libs/expressive/extractor.py).
+
+The reference processes one axiom at a time; here a whole **frontier wave**
+runs as one Spark job sequence (SURVEY §3.2):
+
+per wave (all W frontier axioms at once):
+  1. extension + seeded sample per axiom, tagged by ``task_id`` (set
+     semantics = joins, sparktax.axioms);
+  2. candidate-atom mining = three joins (O15/O16) + frequency prefilter
+     (O24) over ALL tasks in one pass;
+  3. ONE ``applyInPandas`` over ``task_id``: HAC on the sample's
+     type-vectors + label_tree walk + beam-search induction
+     (sparktax.induction.LocalInducer), all local numpy;
+  4. driver registers child expressions (parent ⊓ expr), adds remainder
+     axioms for unlabeled mass, enqueues the next frontier.
+
+Adaptive threshold schedule and halting mirror the reference
+(libs/expressive/params.py BASE_PARAMS; extractor.py:79-99).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparktax.axioms import Axiom, Remainder, Top, parse_axiom
+from sparktax.cluster.hac import hac_children
+from sparktax.graph.kg import KnowledgeGraph
+from sparktax.induction import LocalInducer, atom_matrix, frequent_atoms, mine_atoms
+
+_LABEL_OUT = (
+    "task_id long, child_key string, cov double, spe double, sco double, "
+    "n_members long, complete boolean"
+)
+
+
+@dataclass
+class ExpressiveParams:
+    """Mirrors reference BASE_PARAMS (libs/expressive/params.py:7-74)."""
+
+    size: int = 500  # sample size per axiom
+    seed: int = 42
+    threshold_initial: float = 0.9
+    threshold_min: float = 0.6
+    threshold_step: float = 0.05
+    atom_threshold: float = 0.1  # candidate frequency prefilter
+    max_depth: int = 4  # label_tree recursion depth
+    min_size: int = 30  # min cluster size to label
+    max_axioms: int = 2  # beam search expression length
+    min_gain: float = 0.08
+    keep_n: int = 8
+    score: str = "harmonic"
+    max_waves: int = 10
+    wave_size: int = 16  # frontier axioms per wave
+    max_nodes: int = 200
+    linkage: str = "ward"
+    metric: str = "euclidean"
+
+
+@dataclass
+class _State:
+    queue: list[str] = field(default_factory=list)
+    taxonomy: list[tuple[str, str]] = field(default_factory=list)  # (child, parent)
+    processed: set = field(default_factory=set)
+    threshold: float = 0.9
+
+
+class ExpressiveExtractor:
+    def __init__(
+        self,
+        kg: KnowledgeGraph,
+        embeddings: DataFrame,
+        params: ExpressiveParams | None = None,
+    ):
+        """``embeddings``: (entity_id, vector) — typically
+        sparktax.typevec.type_vectors(kg)."""
+        self.kg = kg
+        self.embeddings = embeddings
+        self.p = params or ExpressiveParams()
+
+    # ---------------------------------------------------------- sampling
+    def _sample_tasks(self, axioms: list[str]) -> tuple[DataFrame, dict[int, str]]:
+        """One (task_id, h) sample DF for the whole frontier."""
+        spark = self.kg.triples.sparkSession
+        parts = []
+        task_of = {}
+        for tid, key in enumerate(axioms):
+            ax = parse_axiom(key)
+            ext = ax.extension(self.kg)
+            samp = (
+                ext.orderBy(F.xxhash64(F.col("h"), F.lit(self.p.seed + tid)))
+                .limit(self.p.size)
+                .select(F.lit(tid).cast("long").alias("task_id"), "h")
+            )
+            parts.append(samp)
+            task_of[tid] = key
+        df = parts[0]
+        for x in parts[1:]:
+            df = df.union(x)
+        return df.localCheckpoint(), task_of
+
+    # ---------------------------------------------------------- kernel
+    def _label_wave(self, samples: DataFrame) -> pd.DataFrame:
+        p = self.p
+        sizes = samples.groupBy("task_id").agg(F.count("*").alias("n"))
+        atoms = mine_atoms(self.kg, samples)
+        freq = frequent_atoms(atoms, sizes, threshold=p.atom_threshold)
+        mat = atom_matrix(atoms, freq)
+        per_ent = mat.groupBy("task_id", "h").agg(
+            F.collect_list("atom").alias("atoms")
+        )
+        rows = (
+            samples.join(
+                self.embeddings.withColumnRenamed("entity_id", "h"), "h", "left"
+            )
+            .join(per_ent, ["task_id", "h"], "left")
+            .select("task_id", "h", "vector", "atoms")
+        )
+        threshold = self.threshold
+        min_size, max_depth = p.min_size, p.max_depth
+        max_axioms, min_gain, keep_n, score = (
+            p.max_axioms,
+            p.min_gain,
+            p.keep_n,
+            p.score,
+        )
+        linkage, metric = p.linkage, p.metric
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            task = int(pdf["task_id"].iloc[0])
+            pdf = pdf.sort_values("h", kind="mergesort").reset_index(drop=True)
+            n = len(pdf)
+            out: list[tuple] = []
+            if n < 2 * min_size:
+                return pd.DataFrame(
+                    out,
+                    columns=[
+                        "task_id",
+                        "child_key",
+                        "cov",
+                        "spe",
+                        "sco",
+                        "n_members",
+                        "complete",
+                    ],
+                )
+            # local atom vocabulary + bool matrix
+            vocab: dict[str, int] = {}
+            for atoms in pdf["atoms"]:
+                if atoms is not None:
+                    for a in atoms:
+                        vocab.setdefault(a, len(vocab))
+            A = np.zeros((n, len(vocab)), dtype=bool)
+            for i, atoms in enumerate(pdf["atoms"]):
+                if atoms is not None:
+                    for a in atoms:
+                        A[i, vocab[a]] = True
+            keys = list(vocab)
+            # embedding matrix (entities without vectors → zero rows)
+            dim = 0
+            for v in pdf["vector"]:
+                if v is not None:
+                    dim = len(v)
+                    break
+            if dim == 0:
+                return pd.DataFrame(out, columns=_COLS)
+            X = np.zeros((n, dim))
+            for i, v in enumerate(pdf["vector"]):
+                if v is not None:
+                    X[i] = v
+            children, _ = hac_children(X, linkage=linkage, metric=metric)
+            # members per node
+            members: list[np.ndarray] = [np.array([i]) for i in range(n)]
+            for a, b in children:
+                members.append(np.concatenate([members[a], members[b]]))
+            kids = {int(n + k): (int(a), int(b)) for k, (a, b) in enumerate(children)}
+
+            complete = True
+
+            def visit(node: int, depth: int) -> None:
+                nonlocal complete
+                if node not in kids or depth > max_depth:
+                    complete = False
+                    return
+                a, b = kids[node]
+                for child, sibling in ((a, b), (b, a)):
+                    rows_c, rows_s = members[child], members[sibling]
+                    if len(rows_c) < min_size:
+                        complete = False
+                        continue
+                    sel = np.concatenate([rows_c, rows_s])
+                    mask = np.zeros(len(sel), dtype=bool)
+                    mask[: len(rows_c)] = True
+                    ind = LocalInducer(A[sel], keys, mask, score=score)
+                    rec = ind.best(
+                        threshold=threshold,
+                        max_axioms=max_axioms,
+                        min_gain=min_gain,
+                        keep_n=keep_n,
+                    )
+                    if rec is not None:
+                        out.append(
+                            (
+                                task,
+                                rec["axiom"],
+                                rec["cov"],
+                                rec["spe"],
+                                rec["sco"],
+                                len(rows_c),
+                                True,
+                            )
+                        )
+                    else:
+                        visit(child, depth + 1)
+
+            root = 2 * n - 2
+            visit(root, 0)
+            if not complete and out:
+                # mark incompleteness on the first row (driver adds remainder)
+                out[0] = (*out[0][:6], False)
+            return pd.DataFrame(
+                out,
+                columns=[
+                    "task_id",
+                    "child_key",
+                    "cov",
+                    "spe",
+                    "sco",
+                    "n_members",
+                    "complete",
+                ],
+            )
+
+        return (
+            rows.groupBy("task_id").applyInPandas(kernel, schema=_LABEL_OUT).toPandas()
+        )
+
+    # ---------------------------------------------------------- driver loop
+    def run(self) -> list[tuple[str, str]]:
+        p = self.p
+        st = _State(queue=[Top().key()], threshold=p.threshold_initial)
+        self.threshold = p.threshold_initial
+        waves = 0
+        incomplete_parents: list[str] = []
+        while st.queue and waves < p.max_waves and len(st.taxonomy) < p.max_nodes:
+            frontier = []
+            while st.queue and len(frontier) < p.wave_size:
+                key = st.queue.pop(0)
+                if key in st.processed:
+                    continue
+                st.processed.add(key)
+                frontier.append(key)
+            if not frontier:
+                break
+            samples, task_of = self._sample_tasks(frontier)
+            labels = self._label_wave(samples)
+            waves += 1
+            found_by_task: dict[int, list[str]] = {}
+            for row in labels.itertuples(index=False):
+                parent_key = task_of[int(row.task_id)]
+                parent_ax = parse_axiom(parent_key)
+                child_ax = parse_axiom(row.child_key)
+                full = child_ax if isinstance(parent_ax, Top) else (parent_ax & child_ax)
+                fk = full.key()
+                if fk == parent_key or (fk, parent_key) in st.taxonomy:
+                    continue
+                st.taxonomy.append((fk, parent_key))
+                st.queue.append(fk)
+                found_by_task.setdefault(int(row.task_id), []).append(fk)
+                if not row.complete:
+                    incomplete_parents.append(parent_key)
+            # remainder axioms for parents with unlabeled mass
+            for tid, kids_found in found_by_task.items():
+                parent_key = task_of[tid]
+                if parent_key in incomplete_parents:
+                    rem = Remainder(
+                        parse_axiom(parent_key),
+                        tuple(parse_axiom(k) for k in sorted(kids_found)),
+                    )
+                    rk = rem.key()
+                    if (rk, parent_key) not in st.taxonomy:
+                        st.taxonomy.append((rk, parent_key))
+            # adaptive threshold: queue exhausted → relax and revisit
+            if not st.queue and self.threshold - p.threshold_step >= p.threshold_min:
+                self.threshold = round(self.threshold - p.threshold_step, 10)
+                st.processed.clear()
+                st.queue = [Top().key()] if not st.taxonomy else [
+                    c for c, _ in st.taxonomy if not c.startswith("REM(")
+                ]
+        return st.taxonomy
+
+    def named_taxonomy(self, edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+        """Translate axiom keys to readable DL names via the KG dims."""
+        ents = dict(self.kg.entities.toPandas()[["id", "uri"]].itertuples(index=False, name=None))
+        rels = dict(self.kg.relations.toPandas()[["id", "uri"]].itertuples(index=False, name=None))
+
+        class _N:
+            entities = None
+            relations = None
+
+        def name(key: str) -> str:
+            ax = parse_axiom(key)
+            return _name_ax(ax, ents, rels)
+
+        return [(name(c), name(p)) for c, p in edges]
+
+
+_COLS = ["task_id", "child_key", "cov", "spe", "sco", "n_members", "complete"]
+
+
+def _name_ax(ax: Axiom, ents: dict, rels: dict) -> str:
+    from sparktax import axioms as AX
+
+    if isinstance(ax, AX.Top):
+        return "⊤"
+    if isinstance(ax, AX.Concept):
+        return ents.get(ax.cls, str(ax.cls))
+    if isinstance(ax, AX.Existential):
+        r = rels.get(ax.rel, str(ax.rel))
+        if ax.tgt is not None:
+            return f"∃{r}.{{{ents.get(ax.tgt, ax.tgt)}}}"
+        if ax.cls is not None:
+            return f"∃{r}.{ents.get(ax.cls, ax.cls)}"
+        return f"∃{r}.⊤"
+    if isinstance(ax, AX.And):
+        return " ⊓ ".join(_name_ax(c, ents, rels) for c in ax.children)
+    if isinstance(ax, AX.Or):
+        return "(" + " ⊔ ".join(_name_ax(c, ents, rels) for c in ax.children) + ")"
+    if isinstance(ax, AX.Neg):
+        return "¬" + _name_ax(ax.child, ents, rels)
+    if isinstance(ax, AX.Remainder):
+        return "*" + _name_ax(ax.base, ents, rels)
+    return ax.key()

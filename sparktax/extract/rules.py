@@ -30,7 +30,12 @@ import pandas as pd
 
 SUBJ = r"(?:[A-Z][A-Za-z0-9_]*)"
 PRED = r"(?:[a-z][a-z0-9]*(?:_[a-z0-9]+)+)"
-STATEMENT_RE = re.compile(rf"\b({SUBJ})\s+({PRED})\s+({SUBJ})\s*\.")
+_PATTERN = rf"\b({SUBJ})\s+({PRED})\s+({SUBJ})\s*\."
+# ASCII grammar by definition: the str and bytes compilations are exactly
+# equivalent (multi-byte UTF-8 can never match an ASCII class), which lets
+# the Spark hot path run the regex zero-copy on Arrow utf-8 buffers.
+STATEMENT_RE = re.compile(_PATTERN, re.ASCII)
+STATEMENT_RE_BYTES = re.compile(_PATTERN.encode("ascii"))
 PRONOUNS = frozenset({"He", "She", "It", "They"})
 
 

@@ -351,3 +351,99 @@ def gen_blob_embeddings_pdf(
     )
     gold = set(tree.items())
     return dataset, classes, embeddings, gold
+
+
+# --------------------------------------------------------------------------
+# Expressive-extraction KG: individuals distinguishable only by relations
+# --------------------------------------------------------------------------
+
+
+def gen_expressive_kg_pdf(
+    n_poets: int = 60,
+    n_novelists: int = 60,
+    n_musicians: int = 100,
+    n_cities: int = 100,
+    seed: int = 42,
+) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame, dict]:
+    """Return (triples, entities, relations, info) where individuals carry
+    only a generic type and are separable ONLY by class expressions:
+
+    * poets      — wrote → (a dbo:Poem,  which is_a dbo:Book)
+    * novelists  — wrote → (a dbo:Novel, which is_a dbo:Book)
+    * musicians  — plays → (a dbo:Instrument)
+    * cities     — located_in → (a dbo:Country)
+
+    The planted expressive taxonomy: ⊤ → {∃wrote.Book, ∃plays.Instrument,
+    ∃located_in.Country}; ∃wrote.Book → {∃wrote.Poem, ∃wrote.Novel}.
+    ``info`` carries the relation/class ids for assertions.
+    """
+    rng = np.random.RandomState(seed)
+    rel_uris = ["rdf:type", "dbo:wrote", "dbo:plays", "dbo:located_in"]
+    relations = pd.DataFrame(
+        {"id": np.arange(len(rel_uris), dtype=np.int64), "uri": rel_uris}
+    )
+    class_uris = [
+        "dbo:Entity", "dbo:Book", "dbo:Poem", "dbo:Novel",
+        "dbo:Instrument", "dbo:Country",
+    ]
+    n_poems, n_novels, n_instr, n_countries = 25, 25, 12, 12
+    ent_uris = list(class_uris)
+    ids: dict[str, np.ndarray] = {}
+    cursor = len(ent_uris)
+
+    def alloc(prefix: str, n: int) -> np.ndarray:
+        nonlocal cursor
+        out = np.arange(cursor, cursor + n, dtype=np.int64)
+        ent_uris.extend(f"dbr:{prefix}_{i}" for i in range(n))
+        cursor += n
+        return out
+
+    ids["poem"] = alloc("Poem", n_poems)
+    ids["novel"] = alloc("Novel", n_novels)
+    ids["instr"] = alloc("Instr", n_instr)
+    ids["country"] = alloc("Country", n_countries)
+    ids["poet"] = alloc("Poet", n_poets)
+    ids["novelist"] = alloc("Novelist", n_novelists)
+    ids["musician"] = alloc("Musician", n_musicians)
+    ids["city"] = alloc("City", n_cities)
+    entities = pd.DataFrame(
+        {"id": np.arange(len(ent_uris), dtype=np.int64), "uri": ent_uris}
+    )
+    cls = {u: i for i, u in enumerate(class_uris)}
+    ISA_R, WROTE, PLAYS, LOC = 0, 1, 2, 3
+    hs, rs, ts = [], [], []
+
+    def add(h, r, t):
+        hs.append(int(h)); rs.append(int(r)); ts.append(int(t))
+
+    # object typing: poems are Poem AND Book; novels Novel AND Book
+    for p in ids["poem"]:
+        add(p, ISA_R, cls["dbo:Poem"]); add(p, ISA_R, cls["dbo:Book"])
+    for nv in ids["novel"]:
+        add(nv, ISA_R, cls["dbo:Novel"]); add(nv, ISA_R, cls["dbo:Book"])
+    for it in ids["instr"]:
+        add(it, ISA_R, cls["dbo:Instrument"])
+    for ct in ids["country"]:
+        add(ct, ISA_R, cls["dbo:Country"])
+    # individuals: generic type + 1-3 distinguishing relations
+    for group, rel, targets in (
+        ("poet", WROTE, ids["poem"]),
+        ("novelist", WROTE, ids["novel"]),
+        ("musician", PLAYS, ids["instr"]),
+        ("city", LOC, ids["country"]),
+    ):
+        for e in ids[group]:
+            add(e, ISA_R, cls["dbo:Entity"])
+            for t in rng.choice(targets, size=rng.randint(1, 4), replace=False):
+                add(e, rel, t)
+    triples = pd.DataFrame(
+        {"h": np.asarray(hs), "r": np.asarray(rs), "t": np.asarray(ts)}
+    ).drop_duplicates(ignore_index=True)
+    info = {
+        "WROTE": WROTE, "PLAYS": PLAYS, "LOC": LOC,
+        "Book": cls["dbo:Book"], "Poem": cls["dbo:Poem"],
+        "Novel": cls["dbo:Novel"], "Instrument": cls["dbo:Instrument"],
+        "Country": cls["dbo:Country"], "Entity": cls["dbo:Entity"],
+        "groups": {k: v for k, v in ids.items()},
+    }
+    return triples, entities, relations, info
