@@ -1,0 +1,100 @@
+"""Checkpointing: manifests, lineage, resume-after-kill, full pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparktax import synth
+from sparktax.ckpt import StageCheckpointer
+from sparktax.pipeline import run_pipeline
+
+
+def test_stage_manifest_and_resume(spark, tmp_path):
+    base = str(tmp_path / "ck")
+    ck = StageCheckpointer(spark, base)
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(100).withColumn("x", F.col("id") * 2)
+
+    df1 = ck.stage("s1", make, params={"v": 1})
+    assert calls["n"] == 1
+    assert df1.count() == 100
+    man = ck.manifest("s1")
+    assert man["rows"] == 100
+    assert man["n_partitions"] >= 1
+    assert sum(man["partitions"].values()) == 100
+    assert man["bytes"] > 0
+
+    # resume: second checkpointer (fresh process simulation) skips compute
+    ck2 = StageCheckpointer(spark, base)
+    df2 = ck2.stage("s1", make, params={"v": 1})
+    assert calls["n"] == 1  # not recomputed
+    assert df2.count() == 100
+
+    # changed params → fingerprint mismatch → recompute
+    ck3 = StageCheckpointer(spark, base)
+    ck3.stage("s1", make, params={"v": 2})
+    assert calls["n"] == 2
+
+
+def test_fingerprint_invalidates_downstream(spark, tmp_path):
+    base = str(tmp_path / "ck2")
+    ck = StageCheckpointer(spark, base)
+    ck.stage("a", spark.range(10), params={"p": 1})
+    ck.stage("b", spark.range(5), upstream=["a"])
+    # new run with changed upstream params: b's fingerprint changes too
+    ck2 = StageCheckpointer(spark, base)
+    calls = {"b": 0}
+
+    def make_b():
+        calls["b"] += 1
+        return spark.range(5)
+
+    ck2.stage("a", spark.range(10), params={"p": 2})
+    ck2.stage("b", make_b, upstream=["a"])
+    assert calls["b"] == 1
+
+
+def test_state_roundtrip(spark, tmp_path):
+    ck = StageCheckpointer(spark, str(tmp_path / "ck3"))
+    ck.save_state("loop", {"queue": ["T"], "threshold": 0.85})
+    assert ck.load_state("loop") == {"queue": ["T"], "threshold": 0.85}
+    assert ck.load_state("missing", default=42) == 42
+
+
+def test_full_pipeline_and_resume(spark, tmp_path):
+    pdf, gold = synth.gen_transcripts_pdf(n_convs=60, seed=9)
+    tdf = synth.transcripts_to_spark(spark, pdf)
+    workdir = str(tmp_path / "run")
+    summary = run_pipeline(spark, tdf, workdir, taxonomy=True)
+    assert set(summary) >= {
+        "10_raw_triples",
+        "20_triples",
+        "21_entities",
+        "22_relations",
+        "30_canonical_map",
+        "40_edges",
+        "41_nodes",
+        "50_type_vectors",
+    }
+    assert summary["10_raw_triples"]["rows"] > 0
+    assert summary["40_edges"]["rows"] > 0
+
+    # resume: a second run must reuse every stage (wall time ~0 writes)
+    import time
+
+    t0 = time.perf_counter()
+    summary2 = run_pipeline(spark, tdf, workdir, taxonomy=True)
+    resume_time = time.perf_counter() - t0
+    assert summary2 == summary
+    assert resume_time < 20  # resumed runs only read manifests + parquet
+
+    # edges partitioned by h: manifest records per-partition lineage
+    man = json.load(open(os.path.join(workdir, "40_edges", "_manifest.json")))
+    assert sum(man["partitions"].values()) == man["rows"]
