@@ -413,6 +413,75 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=4)
 
 
+def q_uri_shorten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O47/O48: URI prefix shortening + literal normalization."""
+    from sparktax.graph.io import normalize_literals, shorten_uri
+
+    n = _t(spark, sf_dir, "nation")
+    long_uri = F.concat(
+        F.lit("http://dbpedia.org/resource/"), F.regexp_replace("n_name", " ", "_")
+    )
+    label_lit = F.concat(F.lit('"'), F.col("n_name"), F.lit('"@en'))
+    typed_lit = F.concat(
+        F.lit('"'), F.col("n_nationkey"), F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>')
+    )
+    return n.select(
+        "n_nationkey",
+        shorten_uri(long_uri).alias("short_uri"),
+        normalize_literals(label_lit).alias("label_norm"),
+        normalize_literals(typed_lit).alias("typed_norm"),
+    )
+
+
+def q_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O41: rank within group — nations ranked by customer count per region."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    w = Window.partitionBy("n_regionkey").orderBy(F.desc("n_cust"), F.asc("n_nationkey"))
+    return counts.withColumn("rnk", F.rank().over(w))
+
+
+def q_type_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25/O38: per-cluster type frequencies + top-3 (mktsegment as the
+    cluster, nation as the type; freq = count/cluster size)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count("*").alias("n"))
+    sizes = c.groupBy("c_mktsegment").agg(F.count("*").alias("total"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), F.asc("c_nationkey"))
+    return (
+        counts.join(sizes, "c_mktsegment")
+        .withColumn("freq", F.round(F.col("n") / F.col("total"), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_nationkey", "n", "freq", "rk")
+    )
+
+
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O27: per-label centroid norm + RMS radius (spheroid stats)."""
+    from sparktax.simsearch import centroid_per_label
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = centroid_per_label(emb)
+    norm = F.sqrt(
+        F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return cent.select(
+        "label",
+        F.round(norm, 5).alias("centroid_norm"),
+        F.round("radius", 5).alias("radius"),
+    )
+
+
 def q_taxonomy_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden taxonomy extraction on planted blobs (rows-only: the HAC +
     Hungarian pipeline has no SQL equivalent). Returns the recovered
@@ -454,6 +523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lag": q_events_lag,
         "substring_search": q_substring_search,
         "safe_divide": q_safe_divide,
+        "uri_shorten": q_uri_shorten,
+        "rank_matrix": q_rank_matrix,
+        "type_freq_topk": q_type_freq_topk,
+        "centroids": q_centroids,
         "sample_deterministic": q_sample_deterministic,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
@@ -707,6 +780,66 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN pos = 0 THEN 0.0
                          ELSE rich::DOUBLE / pos END, 6) AS rich_ratio
             FROM a
+        """,
+        "uri_shorten": """
+            SELECT n_nationkey,
+                   'dbr:' || replace(n_name, ' ', '_') AS short_uri,
+                   '<LABEL:en>' AS label_norm,
+                   'xsd:integer' AS typed_norm
+            FROM nation
+        """,
+        "rank_matrix": """
+            SELECT n_regionkey, n_nationkey, count(*) AS n_cust,
+                   rank() OVER (PARTITION BY n_regionkey
+                       ORDER BY count(*) DESC, n_nationkey) AS rnk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_regionkey, n_nationkey
+        """,
+        "type_freq_topk": """
+            WITH counts AS (
+                SELECT c_mktsegment, c_nationkey, count(*) AS n
+                FROM customer GROUP BY 1, 2
+            ),
+            sizes AS (
+                SELECT c_mktsegment, count(*) AS total FROM customer GROUP BY 1
+            )
+            SELECT c_mktsegment, c_nationkey, n,
+                   round(n / total, 6) AS freq,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY n DESC, c_nationkey) AS rk
+            FROM counts JOIN sizes USING (c_mktsegment)
+            QUALIFY rk <= 3
+        """,
+        "centroids": """
+            WITH e AS (
+                SELECT label, vec_id, embedding::DOUBLE[] AS emb
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT label, vec_id,
+                       unnest(emb) AS val,
+                       generate_subscripts(emb, 1) AS pos
+                FROM e
+            ),
+            cent AS (
+                SELECT label, pos, avg(val) AS m FROM dims GROUP BY 1, 2
+            ),
+            d2 AS (
+                SELECT dims.label, dims.vec_id,
+                       sum((dims.val - cent.m) * (dims.val - cent.m)) AS dd
+                FROM dims JOIN cent
+                ON dims.label = cent.label AND dims.pos = cent.pos
+                GROUP BY 1, 2
+            ),
+            norms AS (
+                SELECT label, sqrt(sum(m * m)) AS centroid_norm
+                FROM cent GROUP BY 1
+            )
+            SELECT d2.label,
+                   round(any_value(norms.centroid_norm), 5) AS centroid_norm,
+                   round(sqrt(avg(d2.dd)), 5) AS radius
+            FROM d2 JOIN norms ON d2.label = norms.label
+            GROUP BY d2.label
         """,
         # sample_deterministic, minhash_neardup, simhash, lsh_topk,
         # taxonomy_blobs: intentionally omitted (non-SQL-expressible /

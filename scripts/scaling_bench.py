@@ -42,18 +42,23 @@ stmt = lambda s, p, o: F.concat(F.lit(s + " "), p, F.lit(" "), o, F.lit("."))
 subj = F.concat(F.lit("S"), F.col("l_suppkey"))
 part = F.concat(F.lit("P"), F.col("l_partkey"))
 order = F.concat(F.lit("O"), F.col("l_orderkey") + F.col("rep"))
+# hash-derived filler gives the text realistic entropy: template-only
+# corpora dictionary-compress to almost nothing, which makes the bench
+# IPC-bandwidth-bound instead of CPU-bound and under-reports scaling
+ent = lambda salt: F.md5(F.concat(F.col("l_orderkey").cast("string"),
+                                  F.lit(salt), F.col("rep").cast("string")))
 text = F.concat_ws(" ",
     F.lit("ok so looking at the result of the tool call we see that"),
-    subj, F.lit("supplies_part"), part, F.lit("."),
+    subj, F.lit("supplies_part"), part, F.lit("."), ent("a"),
     F.lit("then checked the next row and found note value"),
-    part, F.lit("belongs_to"), order, F.lit("."),
+    part, F.lit("belongs_to"), order, F.lit("."), ent("b"),
     F.lit("the quantity field reads"), F.col("l_quantity").cast("string"),
     F.lit("which is fine so then"),
-    order, F.lit("handled_by"), subj, F.lit("."),
+    order, F.lit("handled_by"), subj, F.lit("."), ent("c"),
     F.lit("also maybe worth noting the ship date and the filler words"),
     F.lit("here now data value run step next first sure output checked"),
     subj, F.lit("reports_to"), F.concat(F.lit("S"), (F.col("l_suppkey") + 1)),
-    F.lit("."))
+    F.lit("."), ent("d"))
 t = rep.select(
     F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
              F.col("rep").cast("string")).alias("conv_id"),

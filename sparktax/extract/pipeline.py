@@ -127,6 +127,8 @@ def _extract_arrow_batch(batch) -> "pa.RecordBatch":
             ).tolist()
 
     idx = pa.array(out_rows, type=pa.int64())
+    passthrough = [batch.column(i).take(idx) for i in range(3, batch.num_columns)]
+    pass_names = [batch.schema.names[i] for i in range(3, batch.num_columns)]
     return pa.RecordBatch.from_arrays(
         [
             batch.column(0).take(idx),
@@ -134,22 +136,35 @@ def _extract_arrow_batch(batch) -> "pa.RecordBatch":
             pa.array(subs, type=pa.string()),
             pa.array(preds, type=pa.string()),
             pa.array(objs, type=pa.string()),
+            *passthrough,
         ],
-        names=["conv_id", "turn_idx", "subj", "pred", "obj"],
+        names=["conv_id", "turn_idx", "subj", "pred", "obj", *pass_names],
     )
 
 
-def extract_triples(transcripts: DataFrame, keep_pronouns: bool = False) -> DataFrame:
+def extract_triples(
+    transcripts: DataFrame,
+    keep_pronouns: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Stateless per-turn (subj, pred, obj) extraction. Zero-shuffle,
     zero-copy: ``mapInArrow`` + bytes regex over the Arrow utf-8 buffer
     (see :func:`_extract_arrow_batch`).
+
+    ``passthrough`` columns (e.g. ``ts`` for streaming windows) ride along
+    via an Arrow ``take`` — no join needed downstream.
 
     Pronoun-subject statements are dropped (they need cross-turn context;
     see :func:`extract_triples_contextual`).
     """
     import pyarrow as pa
 
-    cols = transcripts.select("conv_id", "turn_idx", "text")
+    cols = transcripts.select("conv_id", "turn_idx", "text", *passthrough)
+    extra_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in transcripts.schema
+        if f.name in passthrough
+    )
 
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
@@ -161,7 +176,7 @@ def extract_triples(transcripts: DataFrame, keep_pronouns: bool = False) -> Data
                 out = out.filter(mask)
             yield out
 
-    return cols.mapInArrow(gen, schema=_TRIPLE_OUT)
+    return cols.mapInArrow(gen, schema=_TRIPLE_OUT + extra_ddl)
 
 
 def extract_triples_pandas(
