@@ -1,0 +1,69 @@
+"""Tree utilities (O55-O57, O63), edge-list IO (O7), resource registry (O8)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparktax.resources import Resources
+from sparktax.tree import Tree, read_edge_list, write_edge_list
+
+
+EDGES = [("B", "A"), ("C", "A"), ("D", "B"), ("E", "B"), ("F", "C")]
+
+
+def test_from_edges_and_navigation():
+    t = Tree.from_edges(EDGES)
+    assert t.root == "A"
+    assert t.depth("D") == 2
+    assert t.branch("D") == ["D", "B", "A"]
+    assert set(t.leaves()) == {"D", "E", "F"}
+    assert list(t.bfs())[0] == "A"
+    assert set(t.bfs(max_depth=1)) == {"A", "B", "C"}
+    assert list(t.dfs())[0] == "A"
+    assert sorted(t.to_edges()) == sorted(EDGES)
+    assert t.is_ancestor("A", "D") and not t.is_ancestor("D", "A")
+
+
+def test_multi_root_and_cycles():
+    with pytest.raises(ValueError):
+        Tree.from_edges([("A", "B"), ("B", "A")])
+    with pytest.raises(ValueError):
+        Tree.from_edges([("B", "A"), ("D", "C")])  # two roots, no add_root
+    t = Tree.from_edges([("B", "A"), ("D", "C")], add_root="ROOT")
+    assert t.root == "ROOT"
+    assert t.depth("B") == 2
+
+
+def test_surgery_and_clip():
+    t = Tree.from_edges(EDGES)
+    t.move("F", "B")
+    assert t.parent["F"] == "B"
+    with pytest.raises(ValueError):
+        t.move("B", "D")  # under own subtree
+    clip = Tree.from_edges(EDGES).clip_at(1)
+    assert clip["D"] == "B" and clip["F"] == "C" and clip["A"] == "A"
+
+
+def test_edge_list_io(tmp_path):
+    p = str(tmp_path / "tax.txt")
+    write_edge_list(EDGES, p)
+    assert read_edge_list(p) == EDGES
+    assert read_edge_list(p, preprocess=str.lower)[0] == ("b", "a")
+
+
+def test_resources_registry(spark, tmp_path):
+    reg = Resources(str(tmp_path / "resources.json"))
+    spark.range(5).write.parquet(str(tmp_path / "tbl"))
+    reg.register("five", str(tmp_path / "tbl"))
+    assert reg.names() == ["five"]
+    assert reg.load(spark, "five").count() == 5
+    with pytest.raises(KeyError):
+        reg.register("five", "elsewhere")
+    reg.register("five", str(tmp_path / "tbl"), overwrite=True)
+    # persisted: a fresh instance sees it
+    reg2 = Resources(str(tmp_path / "resources.json"))
+    assert reg2.path_of("five").endswith("tbl")
+    reg2.register_as_views(spark)
+    assert spark.sql("select count(*) n from five").first()["n"] == 5
+    with pytest.raises(KeyError):
+        reg2.path_of("nope")
