@@ -3,16 +3,16 @@
 Two paths, chosen by whether cross-turn context is needed:
 
 * :func:`extract_triples` — **stateless per-turn** extraction via
-  ``mapInPandas``. No shuffle at all: a narrow map over the transcript scan,
-  which is the 100 TB throughput path (extraction cost scales linearly with
-  input bytes; parallelism = input splits). Column pruning: only
-  (conv_id, turn_idx, text) are read from the scan.
+  ``mapInArrow`` with a zero-copy bytes-regex kernel. No shuffle at all: a
+  narrow map over the transcript scan, which is the 100 TB throughput path
+  (extraction cost scales linearly with input bytes; parallelism = input
+  splits). Column pruning: only (conv_id, turn_idx, text) are read.
 
 * :func:`extract_triples_contextual` — **cross-turn** extraction (pronoun
-  coreference) via salted ``applyInPandas`` groups. Turn order inside a
-  conversation is stabilized by ``turn_idx`` (input_hint), and hot
-  conversations are handled by AQE skew splitting at the shuffle plus an
-  explicit size cap inside the kernel.
+  coreference) as stateless extraction + a SQL window forward-fill over
+  (conv_id, turn_idx, stmt_idx). Turn order is stabilized by ``turn_idx``
+  (input_hint); hot conversations are one *window partition*, which Spark
+  sort-spills to disk rather than materializing in Python memory.
 
 Both match :func:`sparktax.extract.rules.reference_extract_pdf` exactly
 (per-turn text-equality invariant).
@@ -24,12 +24,15 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparktax.extract.rules import PRONOUNS, STATEMENT_RE
 
 _TRIPLE_OUT = "conv_id string, turn_idx int, subj string, pred string, obj string"
+_TRIPLE_OUT_FULL = (
+    "conv_id string, turn_idx int, stmt_idx int, subj string, pred string, obj string"
+)
 _MENTION_OUT = (
     "conv_id string, turn_idx int, surface string, kind string, "
     "span_start int, span_end int"
@@ -126,6 +129,15 @@ def _extract_arrow_batch(batch) -> "pa.RecordBatch":
                 ends, np.asarray(starts, dtype=np.int64), side="right"
             ).tolist()
 
+    # stmt_idx: position of the statement within its turn (finditer order
+    # is global & rows are sorted, so a running count per row suffices)
+    stmt_idx: list[int] = []
+    prev_row, count = -1, 0
+    for row in out_rows:
+        count = count + 1 if row == prev_row else 0
+        prev_row = row
+        stmt_idx.append(count)
+
     idx = pa.array(out_rows, type=pa.int64())
     passthrough = [batch.column(i).take(idx) for i in range(3, batch.num_columns)]
     pass_names = [batch.schema.names[i] for i in range(3, batch.num_columns)]
@@ -133,12 +145,13 @@ def _extract_arrow_batch(batch) -> "pa.RecordBatch":
         [
             batch.column(0).take(idx),
             batch.column(1).take(idx),
+            pa.array(stmt_idx, type=pa.int32()),
             pa.array(subs, type=pa.string()),
             pa.array(preds, type=pa.string()),
             pa.array(objs, type=pa.string()),
             *passthrough,
         ],
-        names=["conv_id", "turn_idx", "subj", "pred", "obj", *pass_names],
+        names=["conv_id", "turn_idx", "stmt_idx", "subj", "pred", "obj", *pass_names],
     )
 
 
@@ -146,6 +159,7 @@ def extract_triples(
     transcripts: DataFrame,
     keep_pronouns: bool = False,
     passthrough: tuple[str, ...] = (),
+    with_stmt_idx: bool = False,
 ) -> DataFrame:
     """Stateless per-turn (subj, pred, obj) extraction. Zero-shuffle,
     zero-copy: ``mapInArrow`` + bytes regex over the Arrow utf-8 buffer
@@ -172,11 +186,14 @@ def extract_triples(
             if not keep_pronouns and out.num_rows:
                 import pyarrow.compute as pc
 
-                mask = pc.invert(pc.is_in(out.column(2), value_set=pa.array(sorted(PRONOUNS))))
+                mask = pc.invert(
+                    pc.is_in(out.column(3), value_set=pa.array(sorted(PRONOUNS)))
+                )
                 out = out.filter(mask)
             yield out
 
-    return cols.mapInArrow(gen, schema=_TRIPLE_OUT + extra_ddl)
+    res = cols.mapInArrow(gen, schema=_TRIPLE_OUT_FULL + extra_ddl)
+    return res if with_stmt_idx else res.drop("stmt_idx")
 
 
 def extract_triples_pandas(
@@ -196,38 +213,39 @@ def extract_triples_pandas(
     return cols.mapInPandas(gen, schema=_TRIPLE_OUT)
 
 
-def extract_triples_contextual(
-    transcripts: DataFrame, salt_buckets: int = 0
-) -> DataFrame:
-    """Cross-turn extraction with pronoun coreference.
+def extract_triples_contextual(transcripts: DataFrame) -> DataFrame:
+    """Cross-turn extraction with pronoun coreference — pure SQL windows.
 
-    Groups by ``conv_id`` (one shuffle), orders turns by ``turn_idx`` inside
-    the kernel, and resolves He/She/It/They to the most recent explicit
-    subject in the conversation. ``salt_buckets`` > 0 additionally splits
-    each conversation into hash buckets *only for the shuffle layout*
-    decision — conversations must stay whole for coref, so salting here
-    means pre-repartitioning by (conv_id) with a higher partition count and
-    letting AQE split skewed partitions; the kernel itself caps memory by
-    processing turns in order without materializing per-turn state.
+    Two stages: (1) the zero-copy stateless kernel with
+    ``keep_pronouns=True`` + per-turn statement indices (narrow, no
+    shuffle); (2) ``last(explicit_subject, ignoreNulls) OVER
+    (PARTITION BY conv_id ORDER BY turn_idx, stmt_idx)`` — the running
+    "most recent explicit subject" as a window forward-fill.
+
+    Skew: a hot conversation is one *window partition*, which Spark
+    sort-spills to disk — unlike an ``applyInPandas`` group, it never has
+    to fit in Python memory. (The reference resolves coref row-by-row in a
+    single process; semantics proven equal in tests/test_extract.py.)
     """
-    cols = transcripts.select("conv_id", "turn_idx", "text")
-    if salt_buckets:
-        cols = cols.repartition(salt_buckets, "conv_id")
-
-    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx", kind="mergesort")
-        out = _extract_batch(pdf)
-        if out.empty:
-            return out
-        out = out.sort_values(["turn_idx"], kind="mergesort")
-        is_pron = out["subj"].isin(PRONOUNS)
-        # last explicit subject before each statement (textual order is
-        # preserved inside a turn by extractall's match index)
-        explicit = out["subj"].where(~is_pron).ffill()
-        out["subj"] = explicit
-        return out[explicit.notna()]
-
-    return cols.groupBy("conv_id").applyInPandas(per_conv, schema=_TRIPLE_OUT)
+    ex = extract_triples(transcripts, keep_pronouns=True, with_stmt_idx=True)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "stmt_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    explicit = F.when(~F.col("subj").isin(*PRONOUNS), F.col("subj"))
+    resolved = F.last(explicit, ignorenulls=True).over(w)
+    return (
+        ex.withColumn("_resolved", resolved)
+        .filter(F.col("_resolved").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("_resolved").alias("subj"),
+            "pred",
+            "obj",
+        )
+    )
 
 
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
