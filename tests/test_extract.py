@@ -80,3 +80,18 @@ def test_mentions_have_spans(spark):
     for row in m.sample(min(len(m), 50), random_state=0).itertuples(index=False):
         t = text_by_turn.loc[(row.conv_id, row.turn_idx)]
         assert t[row.span_start : row.span_end] == row.surface
+
+
+def test_contextual_skewed_conversations(spark):
+    """Hot conversations (20x turns) flow through the window path and stay
+    parity-exact — the skew-handling evidence for the contextual lane."""
+    pdf, _ = synth.gen_transcripts_pdf(n_convs=25, seed=13, skew=True)
+    sizes = pdf.groupby("conv_id").size()
+    assert sizes.max() > 10 * sizes.median()  # the fixture really is skewed
+    pdf = pdf.copy()
+    mask = pdf.index[::5]
+    pdf.loc[mask, "text"] = pdf.loc[mask, "text"] + " They works_at Initech."
+    tdf = synth.transcripts_to_spark(spark, pdf).repartition(8)
+    got = _sorted(extract_triples_contextual(tdf).toPandas())
+    ref = _sorted(reference_extract_pdf(pdf, resolve_pronouns=True))
+    pd.testing.assert_frame_equal(got[KEY], ref[KEY], check_dtype=False)
