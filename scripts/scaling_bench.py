@@ -121,7 +121,8 @@ def main() -> None:
     corpus = os.environ.get(
         "SPARKTAX_SCALE_CORPUS", os.path.join(tempfile.gettempdir(), "sparktax_scale_corpus")
     )
-    _sub(BUILD.format(repo=REPO), [str(replicas), sf_dir, corpus])
+    if not (os.environ.get("SPARKTAX_SCALE_REUSE") and os.path.isdir(corpus)):
+        _sub(BUILD.format(repo=REPO), [str(replicas), sf_dir, corpus])
 
     def measure(cores: int) -> dict:
         out = _sub(WORKER.format(repo=REPO), [str(cores), corpus], cpus=cores)

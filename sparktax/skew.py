@@ -1,0 +1,95 @@
+"""Explicit skew handling (SURVEY §4 custom-work item 1; north_rule:
+"skew handled by salting hot conversations and AQE-managed shuffles").
+
+AQE's skew-join splitting covers joins; these utilities cover the cases
+AQE cannot touch:
+
+* :func:`top_hot_keys` — the heavy-hitter pre-pass (one cheap groupBy).
+* :func:`salted_count` / :func:`salted_agg` — two-phase aggregation:
+  phase 1 groups on (key, salt) so a hot key's rows spread over ``buckets``
+  reducers, phase 2 re-aggregates the partials. Worth it when a single
+  key's group would otherwise exceed one reducer's memory (e.g. counting
+  statements per hot conversation at 10¹²-turn scale).
+* :func:`replicate_broadcast_side` — for salted broadcast joins: the small
+  side is cross-joined with the salt domain so every salted probe finds
+  its row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def top_hot_keys(df: DataFrame, key: str, min_count: int) -> list:
+    """Keys whose row count exceeds ``min_count`` (driver-collected: the
+    heavy-hitter set is small by definition)."""
+    rows = (
+        df.groupBy(key)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > min_count)
+        .select(key)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def with_salt(
+    df: DataFrame, key: str, hot_keys: list, buckets: int = 16, salt_col: str = "_salt"
+) -> DataFrame:
+    """Add a salt column: 0 for cold keys; hash-spread 0..buckets-1 for hot
+    keys (deterministic per row via xxhash64 over all columns)."""
+    if not hot_keys:
+        return df.withColumn(salt_col, F.lit(0))
+    is_hot = F.col(key).isin(*hot_keys)
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.withColumn(
+        salt_col, F.when(is_hot, F.pmod(row_hash, F.lit(buckets))).otherwise(F.lit(0)).cast("int")
+    )
+
+
+def salted_count(
+    df: DataFrame, key: str, hot_min_count: int = 1_000_000, buckets: int = 16
+) -> DataFrame:
+    """groupBy(key).count() with two-phase aggregation for hot keys.
+
+    (For plain counts Spark's map-side partial aggregation already defuses
+    skew; this exists for the general ``salted_agg`` pattern and as the
+    documented recipe.)"""
+    return salted_agg(
+        df, key, {"n": F.count("*")}, {"n": F.sum("n")}, hot_min_count, buckets
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    partial_aggs: dict,
+    merge_aggs: dict,
+    hot_min_count: int = 1_000_000,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``partial_aggs``: name → agg expr over raw rows (phase 1, keyed by
+    (key, salt)); ``merge_aggs``: name → agg expr over phase-1 partials
+    (phase 2, keyed by key). The two must compose (sum/sum, count/sum,
+    min/min, max/max, collect_list/flatten...).
+    """
+    hot = top_hot_keys(df, key, hot_min_count)
+    salted = with_salt(df, key, hot, buckets)
+    phase1 = salted.groupBy(key, "_salt").agg(
+        *[expr.alias(name) for name, expr in partial_aggs.items()]
+    )
+    return phase1.groupBy(key).agg(
+        *[expr.alias(name) for name, expr in merge_aggs.items()]
+    )
+
+
+def replicate_broadcast_side(
+    small: DataFrame, buckets: int = 16, salt_col: str = "_salt"
+) -> DataFrame:
+    """Cross the broadcast side with the salt domain 0..buckets-1 so a
+    salted equi-join ``on [key, _salt]`` finds every row."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    return small.withColumn(salt_col, salts)
