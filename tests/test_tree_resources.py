@@ -67,3 +67,21 @@ def test_resources_registry(spark, tmp_path):
     assert spark.sql("select count(*) n from five").first()["n"] == 5
     with pytest.raises(KeyError):
         reg2.path_of("nope")
+
+
+def test_catalog_shim_parquet_fallback(spark, tmp_path):
+    from sparktax.catalog import iceberg_available, read_table, write_table
+
+    assert not iceberg_available(spark)  # sandbox has no iceberg jar
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        (F.col("id") % 4).alias("h"), F.col("id").alias("t")
+    )
+    target = str(tmp_path / "edges")
+    write_table(df, target, partition_by=("h",))
+    got = read_table(spark, target)
+    assert got.count() == 20
+    # append mode (same partitioning — mixed layouts are invalid)
+    write_table(df, target, partition_by=("h",), mode="append")
+    assert read_table(spark, target).count() == 40
