@@ -129,6 +129,40 @@ def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_contextual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-turn pronoun coreference: every 3rd turn's subject is 'They',
+    resolved to the most recent explicit subject in the conversation by the
+    SQL-window forward-fill path."""
+    from pyspark.sql import Window
+
+    from sparktax.extract import extract_triples_contextual
+
+    li = _t(spark, sf_dir, "lineitem")
+    # l_linenumber is NOT unique per order in this testdata → derive a
+    # dense, deterministic turn index (same expression in the oracle)
+    wo = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_partkey"
+    )
+    li = li.withColumn("_turn", F.row_number().over(wo))
+    pron = (F.col("_turn") % 3 == 0)
+    subj = F.when(pron, F.lit("They")).otherwise(
+        F.concat(F.lit("S"), F.col("l_suppkey"))
+    )
+    t = li.select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("_turn").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit("note "), subj, F.lit(" supplies_part P"), F.col("l_partkey"), F.lit(".")
+        ).alias("text"),
+        F.lit("").alias("tool"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+    )
+    return extract_triples_contextual(t).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+
+
 def q_kg_class_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O20: members per nation over the derived KG (isa = relation 0)."""
     from sparktax.graph import KnowledgeGraph
@@ -482,6 +516,23 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact mode on the first 150
+    vectors — the oracle-checkable path; LSH mode is the scale path)."""
+    from sparktax.simsearch import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return embedding_near_duplicates(emb, threshold=0.3, method="exact")
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup (rows-only: probabilistic recall)."""
+    from sparktax.simsearch import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.3, method="lsh")
+
+
 def q_taxonomy_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden taxonomy extraction on planted blobs (rows-only: the HAC +
     Hungarian pipeline has no SQL equivalent). Returns the recovered
@@ -502,6 +553,7 @@ def q_taxonomy_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_triples": q_extract_triples,
+        "extract_contextual": q_extract_contextual,
         "kg_class_sizes": q_kg_class_sizes,
         "kg_pattern_lookup": q_kg_pattern_lookup,
         "kg_existential": q_kg_existential,
@@ -515,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "agg_pricing": q_agg_pricing,
         "topk_window": q_topk_window,
         "join_dims": q_join_dims,
@@ -575,6 +629,33 @@ def oracle_sql() -> dict[str, str]:
                    'supplies_part' AS pred,
                    'P' || l_partkey AS obj
             FROM lineitem
+        """,
+        "extract_contextual": """
+            WITH turns AS (
+                SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_suppkey, l_partkey)
+                           AS turn
+                FROM lineitem
+            ),
+            stmts AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS conv_id,
+                       turn AS turn_idx,
+                       CASE WHEN turn % 3 = 0 THEN NULL
+                            ELSE 'S' || l_suppkey END AS subj_raw,
+                       'supplies_part' AS pred,
+                       'P' || l_partkey AS obj
+                FROM turns
+            ),
+            resolved AS (
+                SELECT conv_id, turn_idx, pred, obj,
+                       last_value(subj_raw IGNORE NULLS) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS subj
+                FROM stmts
+            )
+            SELECT conv_id, turn_idx, subj, pred, obj
+            FROM resolved WHERE subj IS NOT NULL
         """,
         "kg_class_sizes": f"""
             WITH triples AS ({_KG_SQL})
@@ -722,6 +803,14 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, neighbor_id) AS rank
             FROM scored
             QUALIFY rank <= 4
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings WHERE vec_id < 150)
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
+            FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.3
         """,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -48,8 +48,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = E.queries()
-    # warm-up: JVM/codegen/Arrow init on a trivial job (not timed)
+    # warm-up (not timed): JVM codegen + the Python/Arrow worker pool
     qs["kg_class_sizes"](spark, sf_dir).count()
+    qs["extract_triples"](spark, "/root/testdata/sf0.001").count()
 
     times: dict[str, float] = {}
     n_triples = 0

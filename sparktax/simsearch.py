@@ -160,6 +160,81 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b, cosine) pairs with cosine ≥ threshold, a < b.
+
+    ``method='lsh'`` (the scale path): sign-LSH banded blocking generates
+    candidates, exact cosine verifies — no cross join ever materializes.
+    ``method='exact'``: full pairwise (only for small/blocked subsets;
+    the oracle-checkable mode)."""
+    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if method == "exact":
+        pairs = (
+            e.alias("x")
+            .join(e.alias("y"), F.col("x._id") < F.col("y._id"))
+            .select(
+                F.col("x._id").alias("a"),
+                F.col("y._id").alias("b"),
+                F.round(
+                    cosine_similarity_expr(F.col("x._v"), F.col("y._v")), 6
+                ).alias("cosine"),
+            )
+        )
+        return pairs.filter(F.col("cosine") >= threshold)
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    bits = n_planes // n_bands
+    mask = (1 << bits) - 1
+    sigs = hyperplane_signatures(e, dim, n_planes, seed, "_id", "_v")
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sig", bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    va = e.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(cosine_similarity_expr(F.col("_va"), F.col("_vb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def centroid_per_label(
     embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
