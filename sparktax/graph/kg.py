@@ -38,15 +38,43 @@ def encode_triples(
     subj: str = "subj",
     pred: str = "pred",
     obj: str = "obj",
+    method: str = "dense",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Dictionary-encode string triples → (triples(h,r,t), entities, relations).
 
-    Id assignment = ``row_number() over (order by uri)`` on the distinct
-    dims (dense ids from 0, deterministic — unlike the reference's
-    insertion-order ids, libs/graph/id_mapper.py:30-43). The dims are small
-    relative to the fact table, so the single-partition window is cheap and
-    the encode joins are broadcast.
+    ``method="dense"`` — id = ``row_number() over (order by uri)`` on the
+    distinct dims (dense ids from 0, deterministic — unlike the reference's
+    insertion-order ids, libs/graph/id_mapper.py:30-43). The window is a
+    single partition: fine while the entity dim fits one executor (≤ tens
+    of millions of uris), and required when dense ids matter (OpenKE
+    export).
+
+    ``method="hash"`` — the 100 TB path: id = ``xxhash64(uri)``. No global
+    sort, no single-partition stage, fully parallel; ids are opaque 64-bit
+    (collision odds ≈ n²/2⁶⁵ — at 10⁹ entities ≈ 3%% chance of ONE
+    collision; acceptable for analytics, switch to dense for archival
+    exports). The encode becomes three column expressions — the dims are
+    only materialized for decode joins.
     """
+    if method == "hash":
+        entities = (
+            raw.select(F.col(subj).alias("uri"))
+            .union(raw.select(F.col(obj).alias("uri")))
+            .distinct()
+            .select(F.xxhash64("uri").alias("id"), "uri")
+        )
+        relations = (
+            raw.select(F.col(pred).alias("uri"))
+            .distinct()
+            .select(F.xxhash64("uri").alias("id"), "uri")
+        )
+        triples = raw.select(
+            F.xxhash64(F.col(subj)).alias("h"),
+            F.xxhash64(F.col(pred)).alias("r"),
+            F.xxhash64(F.col(obj)).alias("t"),
+        )
+        return triples, entities, relations
+
     ents = (
         raw.select(F.col(subj).alias("uri"))
         .union(raw.select(F.col(obj).alias("uri")))

@@ -37,6 +37,7 @@ def run_pipeline(
     fuzzy_threshold: float = 0.85,
     edge_partitions: int | None = None,
     taxonomy: bool = True,
+    encode_method: str = "dense",
 ) -> dict:
     """Run (or resume) the full KG-construction pipeline; returns the
     stage-manifest summary."""
@@ -49,11 +50,13 @@ def run_pipeline(
     )
 
     # encode: three coupled lazy outputs → three stages over the same raw
-    # upstream (nothing executes until each stage writes)
-    t_df, e_df, r_df = encode_triples(raw)
-    triples = ck.stage("20_triples", t_df, upstream=["10_raw_triples"])
-    entities = ck.stage("21_entities", e_df, upstream=["10_raw_triples"])
-    relations = ck.stage("22_relations", r_df, upstream=["10_raw_triples"])
+    # upstream (nothing executes until each stage writes).
+    # encode_method="hash" is the 10¹²-turn path (no global-sort id stage).
+    t_df, e_df, r_df = encode_triples(raw, method=encode_method)
+    enc = {"method": encode_method}
+    triples = ck.stage("20_triples", t_df, params=enc, upstream=["10_raw_triples"])
+    entities = ck.stage("21_entities", e_df, params=enc, upstream=["10_raw_triples"])
+    relations = ck.stage("22_relations", r_df, params=enc, upstream=["10_raw_triples"])
 
     mapping = ck.stage(
         "30_canonical_map",

@@ -102,3 +102,28 @@ def test_lightweight_drops_excluded(kg):
     )
     remaining = set(lw.triples.select("r").distinct().toPandas()["r"])
     assert remaining.isdisjoint(bad_ids)
+
+
+def test_encode_hash_method(spark):
+    raw_pdf = pd.DataFrame(
+        {
+            "subj": ["dbr:A", "dbr:A", "dbr:B"],
+            "pred": ["rdf:type", "dbo:knows", "rdf:type"],
+            "obj": ["dbo:Person", "dbr:B", "dbo:Person"],
+        }
+    )
+    raw = spark.createDataFrame(raw_pdf)
+    triples, entities, relations = encode_triples(raw, method="hash")
+    kg = KnowledgeGraph(triples, entities, relations)
+    decoded = kg.decode(triples).toPandas()
+    got = set(map(tuple, decoded[["h_uri", "r_uri", "t_uri"]].itertuples(index=False)))
+    want = set(map(tuple, raw_pdf.itertuples(index=False)))
+    assert got == want
+    # zero-shuffle encode: no Exchange in the triples plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        triples.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
