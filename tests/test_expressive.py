@@ -138,3 +138,11 @@ def test_expressive_extractor_finds_planted_expressions(ekg):
     assert found(wrote, info["Book"]) or (
         found(wrote, info["Poem"]) and found(wrote, info["Novel"])
     ), edges
+    # depth-2 refinement: the Poem and Novel expressions must appear as
+    # children of a parent mentioning the Book expression
+    book_tag = f"E:{wrote}.C:{info['Book']}"
+    for cls in (info["Poem"], info["Novel"]):
+        tag = f"E:{wrote}.C:{cls}"
+        assert any(
+            tag in c and book_tag in p for c, p in edges
+        ), (tag, edges)
