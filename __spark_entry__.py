@@ -373,9 +373,11 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the cast to TIMESTAMP interprets wall time in the
+    # session timezone — pin UTC so gaps are DST-free regardless of the
+    # driver session's configuration
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ in the parquet; cast through TIMESTAMP (session tz
-    # is pinned to UTC in the session factory) for unix_micros
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev = F.lag(us).over(w)
     return e.select(
