@@ -11,7 +11,42 @@ aligned pairwise; scores are rounded so value hashes match across engines.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make `sparktax` importable even when this file is loaded by path from
+# another working directory
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg(spark: "SparkSession") -> None:
+    """Ship the sparktax package to executor Python workers.
+
+    The driver process finds it via sys.path above, but cloudpickled UDFs
+    unpickle on workers whose sys.path does not include this repo unless
+    the driver's cwd happens to be here — addPyFile covers every layout
+    (and is exactly the spark-submit --py-files story)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zp = os.path.join(tempfile.gettempdir(), f"sparktax_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zp):
+        with zipfile.ZipFile(zp, "w") as z:
+            pkg = os.path.join(_REPO, "sparktax")
+            for root, _dirs, files in os.walk(pkg):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zp)
+    _SHIPPED.add(key)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,6 +132,7 @@ _KG_SQL = f"""
 
 def entry(spark: SparkSession) -> DataFrame:
     """sf0.001 flagship: transcripts → triples → KG encode → class sizes."""
+    _ensure_pkg(spark)
     from sparktax.extract import extract_triples
     from sparktax.graph import KnowledgeGraph
 
@@ -552,7 +588,24 @@ def q_taxonomy_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(sorted(got), "child string, parent string")
 
 
+def _with_pkg(fn):
+    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg(spark)
+        return fn(spark, sf_dir)
+
+    inner.__doc__ = fn.__doc__
+    inner.__name__ = fn.__name__
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        k: _with_pkg(v)
+        for k, v in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_triples": q_extract_triples,
         "extract_contextual": q_extract_contextual,
