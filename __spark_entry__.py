@@ -469,7 +469,8 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only: FNV hashing in the Arrow kernel)."""
+    """SimHash signatures — fully JVM-side (md5 token hash, 64 conditional
+    sums), bit-for-bit reproducible by the DuckDB oracle."""
     from sparktax.textops import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
@@ -648,6 +649,46 @@ _NORM = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', ' ', 'g'), "
     "'\\s+', ' ', 'g'))"
 )
+
+
+def _simhash_sql() -> str:
+    """DuckDB replica of sparktax.textops.simhash: md5-prefix token hashes
+    (hex parsed via the strpos('123456789abcdef', …) trick — '0' maps to 0
+    because strpos returns 0 on miss), 64 per-bit majority sums, bit 63
+    packed through a −2⁶³ offset so nothing overflows a signed BIGINT."""
+
+    def hex8(col: str, off: int) -> str:
+        return " + ".join(
+            f"strpos('123456789abcdef', substr({col},{off + j},1))::BIGINT"
+            f" * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+
+    votes = ", ".join(
+        f"sum(({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1) AS v{i}"
+        for i in range(64)
+    )
+    pack = " + ".join(
+        ["(CASE WHEN v63*2 > n THEN -9223372036854775807 - 1 ELSE 0 END)"]
+        + [f"(CASE WHEN v{i}*2 > n THEN {1 << i} ELSE 0 END)" for i in range(63)]
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, ({hex8("md5(tok)", 1)}) AS hi,
+                   ({hex8("md5(tok)", 9)}) AS lo
+            FROM toks
+        ),
+        v AS (SELECT doc_id, count(*) AS n, {votes} FROM b GROUP BY doc_id),
+        s AS (SELECT doc_id, ({pack})::BIGINT AS simhash FROM v)
+        SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+        FROM documents d LEFT JOIN s USING (doc_id)
+    """
 
 
 def _lang_sql() -> str:
@@ -985,7 +1026,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d2 JOIN norms ON d2.label = norms.label
             GROUP BY d2.label
         """,
-        # sample_deterministic, minhash_neardup, simhash, lsh_topk,
-        # taxonomy_blobs: intentionally omitted (non-SQL-expressible /
-        # engine-specific hashing) → driver rows-only check.
+        "simhash": _simhash_sql(),
+        # sample_deterministic, minhash_neardup, lsh_topk, taxonomy_blobs:
+        # intentionally omitted (non-SQL-expressible / engine-specific
+        # hashing) → driver rows-only check.
     }

@@ -66,7 +66,8 @@ def minhash_signatures(
     """(id, sig: array<long>) — k-permutation MinHash in ONE groupBy.
 
     xxhash64 gives a signed 64-bit base hash; each permutation is
-    (a·x + b) mod p with p = 2⁶¹−1, computed on the non-negative residue.
+    (a·x + b) mod p with p = 2³¹−1 (keeps a·x inside a signed long under
+    Spark 4 ANSI), computed on the non-negative residue.
     """
     x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
     aggs = [

@@ -2,18 +2,14 @@
 (doc_id, text, ...): deduplication family, language ID, quality scoring,
 token counting, fingerprinting.
 
-All hot paths are Catalyst expressions (JVM, whole-stage codegen); the only
-Arrow UDF is SimHash (per-bit majority vote doesn't vectorize well in SQL).
-Each operator is designed to scale: dedup families avoid the O(n²)
-self-join via hash grouping (exact) or shingle/LSH blocking (near-dup).
+All hot paths are Catalyst expressions (JVM, whole-stage codegen) — including
+SimHash, whose per-bit majority vote is 64 conditional sums over exploded
+token hashes. Each operator is designed to scale: dedup families avoid the
+O(n²) self-join via hash grouping (exact) or shingle/LSH blocking (near-dup).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,43 +117,48 @@ def minhash_near_duplicates(
     )
 
 
-def simhash(documents: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """(doc_id, simhash) — token-level SimHash via an Arrow-batched kernel.
+def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — token-level 64-bit SimHash, entirely JVM-side.
 
-    Per-bit majority over token hashes; near-dups differ in few bits
-    (dedup by hamming distance ≤ 3 via 4-band exact-match blocking,
-    :func:`simhash_near_duplicates`)."""
+    Token hash = first 16 hex chars of md5, read as two 32-bit halves so no
+    intermediate exceeds a signed long (Spark 4 ANSI-safe) and the DuckDB
+    oracle can reproduce it bit-for-bit. Per-bit majority = 64 conditional
+    sums after an explode; tokens of one doc stay in one input partition,
+    so map-side partial aggregation collapses each doc to a single 64-long
+    row before the shuffle. Empty/whitespace-only docs hash to 0.
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        masks = (1 << np.arange(bits, dtype=np.uint64))
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.uint64)
-            texts = pdf[text_col].fillna("")
-            for i, t in enumerate(texts.values):
-                toks = t.lower().split()
-                if not toks:
-                    continue
-                # deterministic 64-bit token hashes (FNV-1a, numpy)
-                hs = np.array(
-                    [_fnv1a(tok) for tok in toks], dtype=np.uint64
-                )
-                votes = ((hs[:, None] & masks[None, :]) != 0).sum(axis=0)
-                maj = votes * 2 > len(toks)
-                out[i] = np.sum(masks[maj], dtype=np.uint64)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "simhash": out.astype(np.int64)}
-            )
-
-    return documents.select("doc_id", text_col).mapInPandas(
-        gen, schema="doc_id long, simhash long"
+    Bit 63 is packed via a −2⁶³ offset (never summing past long range);
+    near-dups differ in few bits — pair them with 16-bit-band blocking in
+    :func:`simhash_near_duplicates`.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(txt), r"\s+"), lambda t: t != "")
+    md5h = F.md5(F.col("tok"))
+    tok = documents.select("doc_id", F.explode_outer(toks).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long").alias("lo"),
     )
-
-
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    votes = [
+        F.sum(
+            F.coalesce(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32).bitwiseAND(
+                    F.lit(1)
+                ),
+                F.lit(0),
+            )
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(F.count("lo").alias("n"), *votes)
+    sim = F.when(F.col("v63") * 2 > F.col("n"), F.lit(-(2**63))).otherwise(
+        F.lit(0).cast("long")
+    )
+    for i in range(63):
+        sim = sim + F.when(
+            F.col(f"v{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_near_duplicates(

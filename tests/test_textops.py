@@ -92,8 +92,9 @@ def test_simhash_hamming(spark):
     )
     df = spark.createDataFrame(pdf)
     sh = textops.simhash(df).toPandas().set_index("doc_id")["simhash"]
-    ham12 = bin(np.uint64(sh[1]) ^ np.uint64(sh[2])).count("1")
-    ham13 = bin(np.uint64(sh[1]) ^ np.uint64(sh[3])).count("1")
+    mask = (1 << 64) - 1
+    ham12 = bin((int(sh[1]) ^ int(sh[2])) & mask).count("1")
+    ham13 = bin((int(sh[1]) ^ int(sh[3])) & mask).count("1")
     assert ham12 < ham13
     pairs = textops.simhash_near_duplicates(df, max_hamming=ham12).toPandas()
     assert (1, 2) in set(zip(pairs.a, pairs.b))
