@@ -60,6 +60,8 @@ class ExpressiveParams:
     max_nodes: int = 200
     linkage: str = "ward"
     metric: str = "euclidean"
+    salt_hot_min: int | None = None  # salt 2-hop join keys above this count
+    salt_buckets: int = 16
 
 
 @dataclass
@@ -108,7 +110,12 @@ class ExpressiveExtractor:
     def _label_wave(self, samples: DataFrame) -> pd.DataFrame:
         p = self.p
         sizes = samples.groupBy("task_id").agg(F.count("*").alias("n"))
-        atoms = mine_atoms(self.kg, samples)
+        atoms = mine_atoms(
+            self.kg,
+            samples,
+            salt_hot_min=p.salt_hot_min,
+            salt_buckets=p.salt_buckets,
+        )
         freq = frequent_atoms(atoms, sizes, threshold=p.atom_threshold)
         mat = atom_matrix(atoms, freq)
         per_ent = mat.groupBy("task_id", "h").agg(

@@ -88,17 +88,36 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _join_text_buffer(text) -> tuple[bytes, np.ndarray]:
+    """Re-join an Arrow utf-8 array's rows with ``\\x00`` separators.
+
+    One memcpy via memoryview slices over the contiguous data buffer — no
+    per-row Python strings, no pandas conversion. Returns (joined, ends)
+    where ``ends[i]`` is the position just past row i's last byte plus its
+    separator, i.e. ``searchsorted(ends, match_pos, 'right')`` maps a match
+    position back to its row.
+    """
+    n = len(text)
+    bufs = text.buffers()
+    # buffers: [validity, offsets(int32), data]
+    off = np.frombuffer(bufs[1], dtype=np.int32)[text.offset : text.offset + n + 1].astype(np.int64)
+    mv = memoryview(bufs[2])
+    joined = b"\x00".join(mv[off[i] : off[i + 1]] for i in range(n))
+    # end position of each row inside `joined` (+i separators before row i's end)
+    ends = (off[1:] - off[0]) + np.arange(1, n + 1)
+    return joined, ends
+
+
 def _extract_arrow_batch(batch) -> "pa.RecordBatch":
     """Zero-copy statement extraction over one Arrow RecordBatch.
 
     The utf-8 data buffer of the ``text`` column already holds every row's
     bytes contiguously; rows are re-joined with a single ``\\x00`` separator
-    (one memcpy via memoryview slices — no per-row Python strings, no
-    pandas conversion) and ONE bytes-regex pass scans the whole batch.
-    ``\\x00`` is a non-word byte no grammar token can match, so word
-    boundaries behave exactly as in per-row scanning and matches cannot
-    cross rows (parity with ``reference_extract_pdf``). Match positions map
-    back to rows via the (separator-adjusted) Arrow offsets.
+    and ONE bytes-regex pass scans the whole batch. ``\\x00`` is a non-word
+    byte no grammar token can match, so word boundaries behave exactly as
+    in per-row scanning and matches cannot cross rows (parity with
+    ``reference_extract_pdf``). Match positions map back to rows via the
+    (separator-adjusted) Arrow offsets.
     """
     import pyarrow as pa
 
@@ -111,13 +130,7 @@ def _extract_arrow_batch(batch) -> "pa.RecordBatch":
     preds: list[str] = []
     objs: list[str] = []
     if n:
-        bufs = text.buffers()
-        # buffers: [validity, offsets(int32), data]
-        off = np.frombuffer(bufs[1], dtype=np.int32)[text.offset : text.offset + n + 1].astype(np.int64)
-        mv = memoryview(bufs[2])
-        joined = b"\x00".join(mv[off[i] : off[i + 1]] for i in range(n))
-        # end position of each row inside `joined` (+i separators before row i's end)
-        ends = (off[1:] - off[0]) + np.arange(1, n + 1)
+        joined, ends = _join_text_buffer(text)
         starts: list[int] = []
         for m in STATEMENT_RE_BYTES.finditer(joined):
             starts.append(m.start())
@@ -248,41 +261,77 @@ def extract_triples_contextual(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _mentions_arrow_batch(batch) -> "pa.RecordBatch":
+    """Zero-copy mention detection over one Arrow RecordBatch.
+
+    Same joined-buffer bytes-regex pass as :func:`_extract_arrow_batch`,
+    emitting the subject and object of every statement with **character**
+    spans relative to the row's text: byte offsets are converted exactly by
+    subtracting the count of UTF-8 continuation bytes before each position
+    (one vectorized cumsum over the batch — identical to the per-row str
+    kernel's spans, including on non-ASCII text)."""
+    import pyarrow as pa
+
+    from sparktax.extract.rules import STATEMENT_RE_BYTES
+
+    text = batch.column(2).combine_chunks() if hasattr(batch.column(2), "combine_chunks") else batch.column(2)
+    n = len(text)
+    surfaces: list[str] = []
+    kinds: list[str] = []
+    b_starts: list[int] = []
+    b_ends: list[int] = []
+    rows = np.empty(0, dtype=np.int64)
+    span_start = span_end = rows
+    if n:
+        joined, ends = _join_text_buffer(text)
+        for m in STATEMENT_RE_BYTES.finditer(joined):
+            for grp, kind in ((1, "subj"), (3, "obj")):
+                surfaces.append(m.group(grp).decode("utf-8"))
+                kinds.append(kind)
+                b_starts.append(m.start(grp))
+                b_ends.append(m.end(grp))
+        if b_starts:
+            bs = np.asarray(b_starts, dtype=np.int64)
+            be = np.asarray(b_ends, dtype=np.int64)
+            rows = np.searchsorted(ends, bs, side="right")
+            row_start = np.concatenate([[0], ends[:-1]])[rows]
+            # ccum[p] = UTF-8 continuation bytes in joined[0:p)
+            arr = np.frombuffer(joined, dtype=np.uint8)
+            ccum = np.concatenate(
+                [[0], np.cumsum((arr & 0xC0) == 0x80, dtype=np.int64)]
+            )
+            span_start = (bs - row_start) - (ccum[bs] - ccum[row_start])
+            span_end = (be - row_start) - (ccum[be] - ccum[row_start])
+
+    idx = pa.array(rows.tolist(), type=pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            batch.column(0).take(idx),
+            batch.column(1).take(idx),
+            pa.array(surfaces, type=pa.string()),
+            pa.array(kinds, type=pa.string()),
+            pa.array(span_start.astype(np.int32).tolist(), type=pa.int32()),
+            pa.array(span_end.astype(np.int32).tolist(), type=pa.int32()),
+        ],
+        names=["conv_id", "turn_idx", "surface", "kind", "span_start", "span_end"],
+    )
+
+
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """Mention detection: every subject/object occurrence with char spans.
 
-    Zero-shuffle ``mapInPandas``; downstream entity linking joins these
-    against a broadcast candidate dictionary.
+    Zero-shuffle ``mapInArrow`` sharing the triple extractor's joined-batch
+    bytes-regex kernel (one regex pass per batch instead of one per row);
+    downstream entity linking joins these against a broadcast candidate
+    dictionary.
     """
     cols = transcripts.select("conv_id", "turn_idx", "text")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            recs: list[tuple] = []
-            texts = pdf["text"].fillna("")
-            convs = pdf["conv_id"].values
-            turns = pdf["turn_idx"].values
-            for i, text in enumerate(texts.values):
-                for m in STATEMENT_RE.finditer(text):
-                    recs.append(
-                        (convs[i], int(turns[i]), m.group(1), "subj", m.start(1), m.end(1))
-                    )
-                    recs.append(
-                        (convs[i], int(turns[i]), m.group(3), "obj", m.start(3), m.end(3))
-                    )
-            yield pd.DataFrame(
-                recs,
-                columns=[
-                    "conv_id",
-                    "turn_idx",
-                    "surface",
-                    "kind",
-                    "span_start",
-                    "span_end",
-                ],
-            )
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            yield _mentions_arrow_batch(batch)
 
-    return cols.mapInPandas(gen, schema=_MENTION_OUT)
+    return cols.mapInArrow(gen, schema=_MENTION_OUT)
 
 
 def add_mention_ids(mentions: DataFrame) -> DataFrame:

@@ -34,12 +34,17 @@ def mine_atoms(
     individuals: bool = True,
     existential: bool = True,
     concepts: bool = True,
+    salt_hot_min: int | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """sample: (task_id, h). → (task_id, h, atom) long-form candidates.
 
-    All three patterns are joins against the triples table; the 2-hop
-    existential join is tail-skewed (hub entities) — AQE skew-join
-    handles it (session default).
+    All three patterns are joins against the triples table. The 2-hop
+    existential join is tail-skewed (hub entities: one popular target
+    concentrates the probe side); with ``salt_hot_min`` set, keys above
+    that row count are salted via :func:`sparktax.skew.salted_join`
+    (north_rule: salting beyond AQE) — otherwise AQE's skew split is the
+    only defense.
     """
     ts = kg.triples.join(
         sample.select("task_id", "h").distinct(), "h"
@@ -72,9 +77,18 @@ def mine_atoms(
             .join(valid, "t", "left_semi")
             .select(F.col("h").alias("x"), F.col("t").alias("cls"))
         )
+        hops = non_isa.select("task_id", "h", F.col("r"), F.col("t").alias("x"))
+        if salt_hot_min is not None:
+            from sparktax.skew import salted_join
+
+            joined = salted_join(
+                hops, tail_types, "x",
+                hot_min_count=salt_hot_min, buckets=salt_buckets,
+            )
+        else:
+            joined = hops.join(tail_types, "x")
         parts.append(
-            non_isa.select("task_id", "h", F.col("r"), F.col("t").alias("x"))
-            .join(tail_types, "x")
+            joined
             .select(
                 "task_id",
                 "h",

@@ -64,12 +64,18 @@ def run_pipeline(
         params={"jaccard": fuzzy_threshold},
         upstream=["21_entities"],
     )
+    # edges are laid out by (h, salt-of-t): co-located by head for downstream
+    # pattern scans, but a hub head (one h with millions of edges) spreads
+    # over 8 writer partitions instead of pinning a single straggler task
+    # (north_rule: salting beyond AQE).
     edges = ck.stage(
         "40_edges",
-        lambda: rewrite_triples(triples, mapping),
+        lambda: rewrite_triples(triples, mapping).repartition(
+            *([edge_partitions] if edge_partitions else []),
+            F.col("h"),
+            F.pmod(F.xxhash64("t"), F.lit(8)),
+        ),
         upstream=["20_triples", "30_canonical_map"],
-        partition_by="h",
-        num_partitions=edge_partitions,
     )
     nodes = ck.stage(
         "41_nodes",

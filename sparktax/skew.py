@@ -93,3 +93,35 @@ def replicate_broadcast_side(
     salted equi-join ``on [key, _salt]`` finds every row."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     return small.withColumn(salt_col, salts)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    hot_min_count: int = 1_000_000,
+    buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with explicit hot-key salting (beyond AQE's skew split).
+
+    Heavy hitters of ``left[on]`` (pre-pass unless ``hot_keys`` is given)
+    get their left rows hash-spread over ``buckets`` salt values while ONLY
+    the matching right rows are replicated across the salt domain — cold
+    keys join on salt 0 with no replication, so the extra right-side volume
+    is |hot right rows|·buckets, not |right|·buckets. Row-identical to
+    ``left.join(right, on, how)`` for inner and left joins.
+
+    Use when one probe-side key concentrates enough rows that even a split
+    shuffle partition would straggle (e.g. hub entities in the 2-hop
+    existential join, north_rule's "salting hot conversations").
+    """
+    if hot_keys is None:
+        hot_keys = top_hot_keys(left, on, hot_min_count)
+    if not hot_keys:
+        return left.join(right, on, how)
+    lhs = with_salt(left, on, hot_keys, buckets)
+    r_cold = right.filter(~F.col(on).isin(*hot_keys)).withColumn("_salt", F.lit(0))
+    r_hot = replicate_broadcast_side(right.filter(F.col(on).isin(*hot_keys)), buckets)
+    return lhs.join(r_cold.unionByName(r_hot), [on, "_salt"], how).drop("_salt")

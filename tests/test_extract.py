@@ -82,6 +82,59 @@ def test_mentions_have_spans(spark):
         assert t[row.span_start : row.span_end] == row.surface
 
 
+def _reference_mentions(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-row str-regex mention extractor (the round-1 semantics)."""
+    from sparktax.extract.rules import STATEMENT_RE
+
+    recs = []
+    for row in pdf.itertuples(index=False):
+        for m in STATEMENT_RE.finditer(row.text or ""):
+            recs.append((row.conv_id, row.turn_idx, m.group(1), "subj", m.start(1), m.end(1)))
+            recs.append((row.conv_id, row.turn_idx, m.group(3), "obj", m.start(3), m.end(3)))
+    return pd.DataFrame(
+        recs, columns=["conv_id", "turn_idx", "surface", "kind", "span_start", "span_end"]
+    )
+
+
+MKEY = ["conv_id", "turn_idx", "span_start", "kind"]
+
+
+def test_mentions_match_per_row_reference(spark):
+    pdf, _ = synth.gen_transcripts_pdf(n_convs=30, seed=17)
+    tdf = synth.transcripts_to_spark(spark, pdf)
+    got = extract_mentions(tdf).toPandas().sort_values(MKEY, kind="mergesort").reset_index(drop=True)
+    ref = _reference_mentions(pdf).sort_values(MKEY, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_mentions_non_ascii_char_spans(spark):
+    """Multi-byte UTF-8 before/around statements: byte→char conversion must
+    reproduce the str-regex character spans exactly."""
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2", "c2"],
+            "turn_idx": [0, 1, 0, 1],
+            "role": ["user"] * 4,
+            "text": [
+                "héllo wörld — Ada_Lovelace works_at Acme_Corp. fin",
+                "日本語テキスト Foo is_a Bar. 終わり",
+                "no statements here, just ünïcödé",
+                "Ω prefix Baz_1 linked_to Qux_2. Über café — X9 sub_of Y8.",
+            ],
+            "tool": [""] * 4,
+        }
+    )
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    tdf = synth.transcripts_to_spark(spark, pdf)
+    got = extract_mentions(tdf).toPandas().sort_values(MKEY, kind="mergesort").reset_index(drop=True)
+    ref = _reference_mentions(pdf).sort_values(MKEY, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    text_by_turn = pdf.set_index(["conv_id", "turn_idx"]).text
+    for row in got.itertuples(index=False):
+        t = text_by_turn.loc[(row.conv_id, row.turn_idx)]
+        assert t[row.span_start : row.span_end] == row.surface
+
+
 def test_contextual_skewed_conversations(spark):
     """Hot conversations (20x turns) flow through the window path and stay
     parity-exact — the skew-handling evidence for the contextual lane."""

@@ -11,6 +11,7 @@ from sparktax.skew import (
     replicate_broadcast_side,
     salted_agg,
     salted_count,
+    salted_join,
     top_hot_keys,
     with_salt,
 )
@@ -61,6 +62,75 @@ def test_salted_agg_sum_min_max(skewed):
     assert got.sort_values("k").reset_index(drop=True).equals(
         want.sort_values("k").reset_index(drop=True)
     )
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": ["hot", "hot", "a", "c"], "label": ["H1", "H2", "A", "C"]}
+        )
+    )
+    got = salted_join(skewed, right, "k", hot_min_count=1000, buckets=8)
+    want = skewed.join(right, "k")
+    # salt column is dropped from the output but must appear in the plan
+    assert "_salt" in got._jdf.queryExecution().analyzed().toString()
+    g = got.groupBy("k", "label").count().toPandas().sort_values(["k", "label"]).reset_index(drop=True)
+    w = want.groupBy("k", "label").count().toPandas().sort_values(["k", "label"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+    # left join parity (unmatched left rows survive exactly once)
+    gl = salted_join(skewed, right, "k", how="left", hot_min_count=1000, buckets=8)
+    assert gl.count() == skewed.join(right, "k", "left").count()
+
+
+def test_salted_join_no_hot_keys_falls_through(spark, skewed):
+    right = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "label": ["A", "B"]}))
+    got = salted_join(skewed, right, "k", hot_min_count=10**9)
+    assert "_salt" not in got.columns
+    assert got.count() == skewed.join(right, "k").count()
+
+
+def test_mine_atoms_salted_path_matches_unsalted(spark):
+    """Hub-entity KG: the 2-hop existential join key concentrates on one
+    target; the salted plan must be row-identical to the plain one and the
+    salt must actually appear in the executed plan (north_rule evidence)."""
+    import pandas as pd_
+
+    from sparktax.graph import KnowledgeGraph
+    from sparktax.induction import mine_atoms
+
+    n = 200
+    rows = []
+    for i in range(n):
+        rows.append((i, 5, 500))  # every entity links to the hub
+        rows.append((i, 5, 600 + i % 5))  # plus a cold target
+    for tgt in [500] + [600 + j for j in range(5)]:
+        rows.append((tgt, 0, 100 if tgt == 500 else 101))  # targets typed
+    triples = spark.createDataFrame(
+        pd_.DataFrame(rows, columns=["h", "r", "t"]).astype("int64")
+    )
+    ents = spark.createDataFrame(
+        pd_.DataFrame(
+            {"id": [100, 101, 500] + [600 + j for j in range(5)],
+             "uri": ["dbo:HubClass", "dbo:ColdClass", "dbr:hub"]
+             + [f"dbr:cold{j}" for j in range(5)]}
+        )
+    )
+    rels = spark.createDataFrame(
+        pd_.DataFrame({"id": [0, 5], "uri": ["rdf:type", "links"]})
+    )
+    kg = KnowledgeGraph(triples, ents, rels)
+    sample = spark.createDataFrame(
+        pd_.DataFrame({"task_id": [0] * n, "h": list(range(n))}).astype("int64")
+    )
+    plain = mine_atoms(kg, sample)
+    salted = mine_atoms(kg, sample, salt_hot_min=50, salt_buckets=4)
+    p = set(map(tuple, plain.toPandas().itertuples(index=False)))
+    s = set(map(tuple, salted.toPandas().itertuples(index=False)))
+    assert p == s and p
+    # hub atom really exists (the skewed key did flow through the join)
+    assert any(a == "E:5.C:100" for _, _, a in p)
+    # the salted path was actually taken
+    assert "_salt" in salted._jdf.queryExecution().analyzed().toString()
 
 
 def test_salted_broadcast_join(spark, skewed):
