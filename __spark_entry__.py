@@ -506,6 +506,51 @@ def q_uri_shorten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_openke_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O13: OpenKE directory scan with scan-time row filters
+    (lightweight + exclude_entities). The fixture is derived
+    deterministically from the supplier table, so the oracle recomputes
+    the expected surviving triples straight from SQL."""
+    import tempfile
+
+    from sparktax.graph.io import read_openke_dir
+
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .orderBy("s_suppkey")
+        .collect()
+    )
+    d = os.path.join(
+        tempfile.gettempdir(), f"sparktax_openke_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(d, exist_ok=True)
+    ents = [("owl:Thing", 0), ("dbo:Junk:Wikidata", 90)]
+    ents += [(f"dbo:N{i}", 1 + i) for i in range(25)]
+    ents += [(f"dbr:S{r.s_suppkey}", 100 + r.s_suppkey) for r in supp]
+    rels = [("rdf:type", 0), ("rdfs:label", 1), ("based_in", 2)]
+    rows = []
+    for r in supp:
+        k, nat = r.s_suppkey, r.s_nationkey
+        rows.append((100 + k, 1 + nat, 0))  # rdf:type nation-class (kept)
+        rows.append((100 + k, 100 + k, 1))  # rdfs:label (lightweight-dropped)
+        rows.append((100 + k, 1 + nat, 2))  # based_in (kept)
+        if k % 10 == 0:
+            rows.append((100 + k, 90, 0))  # invalid type (dropped)
+        if k % 7 == 0:
+            rows.append((100 + k, 0, 0))  # owl:Thing (kept)
+    with open(f"{d}/entity2id.txt", "w") as f:
+        f.write(f"{len(ents)}\n" + "".join(f"{u}\t{i}\n" for u, i in ents))
+    with open(f"{d}/relation2id.txt", "w") as f:
+        f.write(f"{len(rels)}\n" + "".join(f"{u}\t{i}\n" for u, i in rels))
+    with open(f"{d}/train2id.txt", "w") as f:
+        f.write(f"{len(rows)}\n" + "".join(f"{h} {t} {r}\n" for h, t, r in rows))
+    triples, _, _ = read_openke_dir(
+        spark, d, lightweight=True, exclude_entities={"dbr:S1"}
+    )
+    return triples.select("h", "r", "t")
+
+
 def q_rank_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O41: rank within group — nations ranked by customer count per region."""
     from pyspark.sql import Window
@@ -552,6 +597,20 @@ def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(norm, 5).alias("centroid_norm"),
         F.round("radius", 5).alias("radius"),
+    )
+
+
+def q_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Separability: pairwise euclidean distance between per-label
+    centroids (reference geometric_distance; the taxonomic half is
+    driver-side tree math, pytest-covered)."""
+    from sparktax.separability import centroid_distances
+    from sparktax.simsearch import centroid_per_label
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = centroid_per_label(emb)
+    return centroid_distances(cent, id_col="label").select(
+        "a", "b", F.round("geom", 5).alias("geom")
     )
 
 
@@ -634,9 +693,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": q_substring_search,
         "safe_divide": q_safe_divide,
         "uri_shorten": q_uri_shorten,
+        "openke_filtered_scan": q_openke_filtered_scan,
         "rank_matrix": q_rank_matrix,
         "type_freq_topk": q_type_freq_topk,
         "centroids": q_centroids,
+        "centroid_distances": q_centroid_distances,
         "sample_deterministic": q_sample_deterministic,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
@@ -973,6 +1034,16 @@ def oracle_sql() -> dict[str, str]:
                    'xsd:integer' AS typed_norm
             FROM nation
         """,
+        "openke_filtered_scan": """
+            WITH s AS (SELECT s_suppkey AS k, s_nationkey AS nat
+                       FROM supplier WHERE s_suppkey <> 1)
+            SELECT (100 + k)::BIGINT AS h, 0::BIGINT AS r,
+                   (1 + nat)::BIGINT AS t FROM s
+            UNION ALL
+            SELECT 100 + k, 0, 0 FROM s WHERE k % 7 = 0
+            UNION ALL
+            SELECT 100 + k, 2, 1 + nat FROM s
+        """,
         "rank_matrix": """
             SELECT n_regionkey, n_nationkey, count(*) AS n_cust,
                    rank() OVER (PARTITION BY n_regionkey
@@ -1025,6 +1096,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(avg(d2.dd)), 5) AS radius
             FROM d2 JOIN norms ON d2.label = norms.label
             GROUP BY d2.label
+        """,
+        "centroid_distances": """
+            WITH e AS (
+                SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+            ),
+            dims AS (
+                SELECT label, unnest(emb) AS val,
+                       generate_subscripts(emb, 1) AS pos
+                FROM e
+            ),
+            cent AS (SELECT label, pos, avg(val) AS m FROM dims GROUP BY 1, 2)
+            SELECT x.label AS a, y.label AS b,
+                   round(sqrt(sum((x.m - y.m) * (x.m - y.m))), 5) AS geom
+            FROM cent x JOIN cent y ON x.pos = y.pos AND x.label < y.label
+            GROUP BY 1, 2
         """,
         "simhash": _simhash_sql(),
         # sample_deterministic, minhash_neardup, lsh_topk, taxonomy_blobs:

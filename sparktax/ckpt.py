@@ -58,7 +58,9 @@ class StageCheckpointer:
         try:
             with open(self._manifest_path(stage)) as f:
                 return json.load(f)
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
+            # NotADirectoryError: `stage` names a plain file in the base dir
+            # (e.g. a _state_*.json loop snapshot)
             return None
 
     # ------------------------------------------------------------- stages

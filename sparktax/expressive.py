@@ -48,6 +48,7 @@ class ExpressiveParams:
     threshold_initial: float = 0.9
     threshold_min: float = 0.6
     threshold_step: float = 0.05
+    threshold_expressive: float = 0.5  # below this: named classes only
     atom_threshold: float = 0.1  # candidate frequency prefilter
     max_depth: int = 4  # label_tree recursion depth
     min_size: int = 30  # min cluster size to label
@@ -70,6 +71,32 @@ class _State:
     taxonomy: list[tuple[str, str]] = field(default_factory=list)  # (child, parent)
     processed: set = field(default_factory=set)
     threshold: float = 0.9
+    done: set = field(default_factory=set)  # reference done_classes
+    waves: int = 0
+    concepts_only: bool = False
+
+    def to_json(self) -> dict:
+        return {
+            "queue": list(self.queue),
+            "taxonomy": [list(e) for e in self.taxonomy],
+            "processed": sorted(self.processed),
+            "threshold": self.threshold,
+            "done": sorted(self.done),
+            "waves": self.waves,
+            "concepts_only": self.concepts_only,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "_State":
+        return cls(
+            queue=list(d["queue"]),
+            taxonomy=[tuple(e) for e in d["taxonomy"]],
+            processed=set(d["processed"]),
+            threshold=float(d["threshold"]),
+            done=set(d.get("done", ())),
+            waves=int(d.get("waves", 0)),
+            concepts_only=bool(d.get("concepts_only", False)),
+        )
 
 
 class ExpressiveExtractor:
@@ -84,6 +111,8 @@ class ExpressiveExtractor:
         self.kg = kg
         self.embeddings = embeddings
         self.p = params or ExpressiveParams()
+        self.threshold = self.p.threshold_initial
+        self.concepts_only = False
 
     # ---------------------------------------------------------- sampling
     def _sample_tasks(self, axioms: list[str]) -> tuple[DataFrame, dict[int, str]]:
@@ -110,9 +139,15 @@ class ExpressiveExtractor:
     def _label_wave(self, samples: DataFrame) -> pd.DataFrame:
         p = self.p
         sizes = samples.groupBy("task_id").agg(F.count("*").alias("n"))
+        # below threshold_expressive the reference restricts the search to
+        # named classes (extractor.py:92-96): no existential/individual
+        # atoms, single-atom expressions
+        concepts_only = self.concepts_only
         atoms = mine_atoms(
             self.kg,
             samples,
+            individuals=not concepts_only,
+            existential=not concepts_only,
             salt_hot_min=p.salt_hot_min,
             salt_buckets=p.salt_buckets,
         )
@@ -131,7 +166,7 @@ class ExpressiveExtractor:
         threshold = self.threshold
         min_size, max_depth = p.min_size, p.max_depth
         max_axioms, min_gain, keep_n, score = (
-            p.max_axioms,
+            1 if concepts_only else p.max_axioms,
             p.min_gain,
             p.keep_n,
             p.score,
@@ -248,13 +283,38 @@ class ExpressiveExtractor:
         )
 
     # ---------------------------------------------------------- driver loop
-    def run(self) -> list[tuple[str, str]]:
+    @staticmethod
+    def _base_key(start_key: str) -> str:
+        """Newfound axioms attach to a remainder's *base*, not the
+        remainder itself (reference extractor.py:324-328)."""
+        ax = parse_axiom(start_key)
+        return ax.base.key() if isinstance(ax, Remainder) else start_key
+
+    def _children_of(self, st: _State, parent_key: str) -> list[str]:
+        return [
+            c for c, par in st.taxonomy if par == parent_key and not c.startswith("REM(")
+        ]
+
+    def run(self, ckpt=None, state_name: str = "expressive") -> list[tuple[str, str]]:
+        """Run (or resume) the frontier-wave loop.
+
+        ``ckpt``: optional :class:`sparktax.ckpt.StageCheckpointer` — the
+        full loop state (queue, taxonomy, processed/done sets, threshold,
+        wave count) snapshots as JSON after EVERY wave, so a killed run
+        resumes mid-extraction from the last completed wave (O68; the
+        reference's ``checkpoint()`` is an empty stub, extractor.py:300-312).
+        """
         p = self.p
-        st = _State(queue=[Top().key()], threshold=p.threshold_initial)
-        self.threshold = p.threshold_initial
-        waves = 0
-        incomplete_parents: list[str] = []
-        while st.queue and waves < p.max_waves and len(st.taxonomy) < p.max_nodes:
+        st: _State | None = None
+        if ckpt is not None:
+            saved = ckpt.load_state(state_name)
+            if saved is not None:
+                st = _State.from_json(saved)
+        if st is None:
+            st = _State(queue=[Top().key()], threshold=p.threshold_initial)
+        self.threshold = st.threshold
+        self.concepts_only = st.concepts_only
+        while st.queue and st.waves < p.max_waves and len(st.taxonomy) < p.max_nodes:
             frontier = []
             while st.queue and len(frontier) < p.wave_size:
                 key = st.queue.pop(0)
@@ -265,59 +325,137 @@ class ExpressiveExtractor:
             if not frontier:
                 break
             samples, task_of = self._sample_tasks(frontier)
+            sizes = {
+                int(r.task_id): int(r.n)
+                for r in samples.groupBy("task_id")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
             labels = self._label_wave(samples)
-            waves += 1
+            st.waves += 1
+            # MIN_SIZE stop: too few instances to cluster → search is done
+            # for that class (reference end_search_for, extractor.py:226-230)
+            for tid, start_key in task_of.items():
+                if sizes.get(tid, 0) < 2 * p.min_size:
+                    st.done.add(self._base_key(start_key))
+            incomplete: set[str] = set()
             found_by_task: dict[int, list[str]] = {}
             for row in labels.itertuples(index=False):
-                parent_key = task_of[int(row.task_id)]
-                parent_ax = parse_axiom(parent_key)
+                base_key = self._base_key(task_of[int(row.task_id)])
+                parent_ax = parse_axiom(base_key)
                 child_ax = parse_axiom(row.child_key)
                 full = child_ax if isinstance(parent_ax, Top) else (parent_ax & child_ax)
                 fk = full.key()
-                if fk == parent_key or (fk, parent_key) in st.taxonomy:
+                if fk == base_key or (fk, base_key) in st.taxonomy:
                     continue
-                st.taxonomy.append((fk, parent_key))
+                st.taxonomy.append((fk, base_key))
                 st.queue.append(fk)
                 found_by_task.setdefault(int(row.task_id), []).append(fk)
                 if not row.complete:
-                    incomplete_parents.append(parent_key)
-            # remainder axioms for parents with unlabeled mass
+                    incomplete.add(base_key)
+            # remainder axioms for parents with unlabeled mass — registered
+            # as taxonomy children AND enqueued for their own search wave
+            # (reference register_axiom, extractor.py:354-359)
             for tid, kids_found in found_by_task.items():
-                parent_key = task_of[tid]
-                if parent_key in incomplete_parents:
+                base_key = self._base_key(task_of[tid])
+                if base_key in incomplete:
                     rem = Remainder(
-                        parse_axiom(parent_key),
+                        parse_axiom(base_key),
                         tuple(parse_axiom(k) for k in sorted(kids_found)),
                     )
                     rk = rem.key()
-                    if (rk, parent_key) not in st.taxonomy:
-                        st.taxonomy.append((rk, parent_key))
-            # adaptive threshold: queue exhausted → relax and revisit
-            if not st.queue and self.threshold - p.threshold_step >= p.threshold_min:
-                self.threshold = round(self.threshold - p.threshold_step, 10)
+                    if (rk, base_key) not in st.taxonomy:
+                        st.taxonomy.append((rk, base_key))
+                        st.queue.append(rk)
+            # adaptive threshold: queue exhausted → relax and regenerate the
+            # queue from the *remainders* of every extracted-but-not-done
+            # class — the unlabeled mass is what gets revisited (reference
+            # extractor.py:90-98)
+            if not st.queue and st.threshold - p.threshold_step >= p.threshold_min:
+                st.threshold = round(st.threshold - p.threshold_step, 10)
+                self.threshold = st.threshold
+                if st.threshold < p.threshold_expressive:
+                    # switch to named classes only (reference :92-96)
+                    st.concepts_only = self.concepts_only = True
+                extracted = {c for c, _ in st.taxonomy if not c.startswith("REM(")}
                 st.processed.clear()
-                st.queue = [Top().key()] if not st.taxonomy else [
-                    c for c, _ in st.taxonomy if not c.startswith("REM(")
+                st.queue = [
+                    Remainder(
+                        parse_axiom(k),
+                        tuple(parse_axiom(c) for c in sorted(self._children_of(st, k))),
+                    ).key()
+                    for k in sorted(extracted - st.done)
                 ]
+            if ckpt is not None:
+                ckpt.save_state(state_name, st.to_json())
         return st.taxonomy
 
     def named_taxonomy(self, edges: list[tuple[str, str]]) -> list[tuple[str, str]]:
-        """Translate axiom keys to readable DL names via the KG dims."""
-        ents = dict(self.kg.entities.toPandas()[["id", "uri"]].itertuples(index=False, name=None))
-        rels = dict(self.kg.relations.toPandas()[["id", "uri"]].itertuples(index=False, name=None))
+        """Translate axiom keys to readable DL names via the KG dims.
 
-        class _N:
-            entities = None
-            relations = None
+        Only the ids actually referenced by the taxonomy (a few hundred at
+        most) are collected — the dims themselves may hold 10⁹+ entities
+        under hash encoding, so a full ``toPandas()`` would OOM the driver.
+        """
+        ids_e: set[int] = set()
+        ids_r: set[int] = set()
+        for key in {k for edge in edges for k in edge}:
+            _collect_ids(parse_axiom(key), ids_e, ids_r)
+        ents = (
+            {
+                r.id: r.uri
+                for r in self.kg.entities.filter(
+                    F.col("id").isin([int(i) for i in ids_e])
+                )
+                .select("id", "uri")
+                .collect()
+            }
+            if ids_e
+            else {}
+        )
+        rels = (
+            {
+                r.id: r.uri
+                for r in self.kg.relations.filter(
+                    F.col("id").isin([int(i) for i in ids_r])
+                )
+                .select("id", "uri")
+                .collect()
+            }
+            if ids_r
+            else {}
+        )
 
         def name(key: str) -> str:
-            ax = parse_axiom(key)
-            return _name_ax(ax, ents, rels)
+            return _name_ax(parse_axiom(key), ents, rels)
 
         return [(name(c), name(p)) for c, p in edges]
 
 
 _COLS = ["task_id", "child_key", "cov", "spe", "sco", "n_members", "complete"]
+
+
+def _collect_ids(ax: Axiom, ids_e: set, ids_r: set) -> None:
+    """All entity/relation ids referenced by an axiom tree."""
+    from sparktax import axioms as AX
+
+    if isinstance(ax, AX.Concept):
+        ids_e.add(ax.cls)
+    elif isinstance(ax, AX.Existential):
+        ids_r.add(ax.rel)
+        if ax.tgt is not None:
+            ids_e.add(ax.tgt)
+        if ax.cls is not None:
+            ids_e.add(ax.cls)
+    elif isinstance(ax, (AX.And, AX.Or)):
+        for c in ax.children:
+            _collect_ids(c, ids_e, ids_r)
+    elif isinstance(ax, AX.Neg):
+        _collect_ids(ax.child, ids_e, ids_r)
+    elif isinstance(ax, AX.Remainder):
+        _collect_ids(ax.base, ids_e, ids_r)
+        for s in ax.subtracted:
+            _collect_ids(s, ids_e, ids_r)
 
 
 def _name_ax(ax: Axiom, ents: dict, rels: dict) -> str:

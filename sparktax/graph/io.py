@@ -103,15 +103,53 @@ def _read_id_file(spark: SparkSession, path: str, schema: StructType) -> DataFra
     )
 
 
+# relations a "lightweight" scan always drops (reference
+# knowledge_graph.py:160-162)
+LIGHTWEIGHT_EXCLUDED_RELATIONS = frozenset(
+    {"rdfs:label", "foaf:name", "dcterms:description"}
+)
+
+
+def valid_type_pred(uri_col):
+    """The reference's valid-class predicate (knowledge_graph.py:167-169):
+    owl:Thing, or a dbo: class that is not a Wikidata shadow class."""
+    return (uri_col == "owl:Thing") | (
+        uri_col.startswith("dbo:") & ~uri_col.contains(":Wikidata")
+    )
+
+
 def read_openke_dir(
     spark: SparkSession,
     dirname: str,
     splits: tuple[str, ...] = ("train2id.txt", "valid2id.txt", "test2id.txt"),
     max_triples: int | None = None,
+    exclude_entities: set[str] | None = None,
+    exclude_relations: set[str] | None = None,
+    remove_invalid_types: bool = False,
+    lightweight: bool = False,
+    isa_uri: str = "rdf:type",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Read an OpenKE-format directory → (triples, entities, relations).
 
     Triple files are **h t r** order (reference libs/graph/io.py:11-17).
+
+    Scan-time row filters (reference ``KnowledgeGraph.from_dir``,
+    knowledge_graph.py:152-190):
+
+    * ``exclude_entities`` / ``exclude_relations`` — URI names; any triple
+      whose head/tail (resp. relation) is listed is dropped. Names absent
+      from the id files are ignored, as in the reference.
+    * ``remove_invalid_types`` — drop isa triples whose tail is not a valid
+      class (:func:`valid_type_pred`): one broadcast semi-join against the
+      (small) valid-class id set, applied before anything materializes.
+    * ``lightweight`` — shorthand for excluding the label/name/description
+      relations and setting ``remove_invalid_types=True``.
+    * ``max_triples`` — applied after the filters (the reference counts
+      only non-excluded triples toward the cap).
+
+    All filters sit directly above the text scan, so Catalyst evaluates
+    them before any shuffle/materialization — the dropped rows never leave
+    the scan stage.
     """
     entities = _read_id_file(spark, f"{dirname}/entity2id.txt", schemas.ENTITIES)
     relations = _read_id_file(spark, f"{dirname}/relation2id.txt", schemas.RELATIONS)
@@ -130,6 +168,38 @@ def read_openke_dir(
         )
         .filter(F.col("h").isNotNull() & F.col("r").isNotNull() & F.col("t").isNotNull())
     )
+
+    excl_rel = set(exclude_relations or ())
+    if lightweight:
+        excl_rel |= LIGHTWEIGHT_EXCLUDED_RELATIONS
+        remove_invalid_types = True
+    if excl_rel:
+        ids = [r.id for r in relations.filter(F.col("uri").isin(*excl_rel)).collect()]
+        if ids:
+            triples = triples.filter(~F.col("r").isin(*ids))
+    if exclude_entities:
+        ids = [
+            r.id
+            for r in entities.filter(F.col("uri").isin(*exclude_entities)).collect()
+        ]
+        if ids:
+            triples = triples.filter(
+                ~F.col("h").isin(*ids) & ~F.col("t").isin(*ids)
+            )
+    if remove_invalid_types:
+        isa_row = relations.filter(F.col("uri") == isa_uri).select("id").first()
+        if isa_row is not None:
+            valid = (
+                entities.filter(valid_type_pred(F.col("uri")))
+                .select(F.col("id").alias("t"))
+                .withColumn("_valid", F.lit(True))
+            )
+            triples = (
+                triples.join(F.broadcast(valid), "t", "left")
+                .filter((F.col("r") != isa_row.id) | F.col("_valid").isNotNull())
+                .drop("_valid")
+                .select("h", "r", "t")
+            )
     if max_triples:
         triples = triples.limit(max_triples)
     return triples, entities, relations

@@ -168,12 +168,39 @@ class LocalInducer:
         mask: np.ndarray,
         score: str = "harmonic",
         truncate_unsorted: bool = False,
+        filter_similar: bool = True,
     ):
         self.A = A.astype(bool)
         self.keys = list(atom_keys)
         self.mask = mask.astype(bool)
         self.score = score
         self.truncate_unsorted = truncate_unsorted
+        self.filter_similar = filter_similar
+
+    @staticmethod
+    def _atom_rel(atom_key: str) -> str | None:
+        """Relation of an existential atom key (``E:<rel>.…``) — None for
+        concept atoms (the reference exempts rdf:type atoms)."""
+        if atom_key.startswith("E:"):
+            return atom_key[2:].split(".", 1)[0]
+        return None
+
+    def _filter_similar(self, cands: list[tuple]) -> list[tuple]:
+        """Per-relation near-duplicate suppression (reference
+        filter_similar_axioms, libs/axiom_induction/inducer.py:249-261):
+        among candidates whose added atom is existential, keep only those
+        tying the best score for that relation — otherwise ``E:r.C:x``
+        variants of one hub relation crowd the beam."""
+        best: dict[str, float] = {}
+        for c in cands:
+            rel = self._atom_rel(c[6])
+            if rel is not None:
+                best[rel] = max(best.get(rel, -1.0), c[0])
+        return [
+            c
+            for c in cands
+            if self._atom_rel(c[6]) is None or c[0] >= best[self._atom_rel(c[6])]
+        ]
 
     def find(
         self,
@@ -202,6 +229,7 @@ class LocalInducer:
                     ops.append("and")
                 if key is None:
                     ops = ["or"]  # empty axiom: only OR grows it
+                ele: list[tuple] = []
                 for op in ops:
                     if op == "or":
                         newv = vec[None, :] | self.A.T
@@ -213,16 +241,27 @@ class LocalInducer:
                         if j in used or gain[j] < min_gain:
                             continue
                         nk = self._combine(key, op, self.keys[j])
-                        cands.append(
-                            (float(sco[j]), nk, newv[j], used | {j}, float(cov[j]), float(spe[j]))
+                        ele.append(
+                            (
+                                float(sco[j]),
+                                nk,
+                                newv[j],
+                                used | {j},
+                                float(cov[j]),
+                                float(spe[j]),
+                                self.keys[j],
+                            )
                         )
+                # reference applies the per-relation filter per improve()
+                # call, i.e. per beam element's candidate list
+                cands.extend(self._filter_similar(ele) if self.filter_similar else ele)
             if not cands:
                 break
             if not self.truncate_unsorted:
                 cands.sort(key=lambda c: -c[0])
             seen_keys = set()
             next_beam = []
-            for sco, nk, vec, used, cov, spe in cands:
+            for sco, nk, vec, used, cov, spe, _atom in cands:
                 if nk in seen_keys or nk in best:
                     continue
                 seen_keys.add(nk)

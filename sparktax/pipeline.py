@@ -37,10 +37,18 @@ def run_pipeline(
     fuzzy_threshold: float = 0.85,
     edge_partitions: int | None = None,
     taxonomy: bool = True,
-    encode_method: str = "dense",
+    encode_method: str = "hash",
+    expressive: bool = False,
 ) -> dict:
     """Run (or resume) the full KG-construction pipeline; returns the
-    stage-manifest summary."""
+    stage-manifest summary.
+
+    ``encode_method`` defaults to "hash" — the zero-shuffle 10¹²-turn path
+    (no global-sort id stage); pass "dense" only when exporting to formats
+    that need contiguous ids (OpenKE). With ``taxonomy=True`` the run
+    continues through seeded dataset creation and non-expressive taxonomy
+    extraction; ``expressive=True`` additionally runs the frontier-wave
+    expressive loop, whose state snapshots per wave (kill/resume-safe)."""
     ck = StageCheckpointer(spark, workdir)
 
     raw = ck.stage(
@@ -91,12 +99,69 @@ def run_pipeline(
         kg = KnowledgeGraph(edges, nodes, relations, isa_uri=isa_uri)
         from sparktax.typevec import type_vectors
 
-        ck.stage(
+        tv = ck.stage(
             "50_type_vectors",
             lambda: type_vectors(kg, k=32),
             params={"k": 32},
             upstream=["40_edges", "41_nodes"],
         )
+
+        # seeded dataset creation (transcripts KGs have no dbo: ontology, so
+        # the valid-type set is simply every isa tail)
+        from sparktax.dataset import create_from_instances
+
+        def _ds_pair():
+            isa = kg.isa
+            typed = kg.triples.filter(F.col("r") == isa)
+            instances = typed.select("h").distinct()
+            vt = typed.select(F.col("t").alias("id")).distinct()
+            return create_from_instances(kg, instances, valid_types=vt, seed=42)
+
+        ds = ck.stage(
+            "51_dataset", lambda: _ds_pair()[0],
+            params={"seed": 42}, upstream=["40_edges"],
+        )
+        classes = ck.stage(
+            "52_classes", lambda: _ds_pair()[1],
+            params={"seed": 42}, upstream=["40_edges"],
+        )
+
+        # non-expressive taxonomy (HAC + assignment over the golden pipeline)
+        def _nonexpressive():
+            from sparktax.extraction.pipeline import extract_taxonomy
+
+            got = (
+                extract_taxonomy(ds, tv, classes)
+                if ds.limit(1).count()
+                else set()
+            )
+            return spark.createDataFrame(
+                sorted(got) or [("", "")], "child string, parent string"
+            ).filter(F.col("child") != "")
+
+        ck.stage(
+            "60_taxonomy",
+            _nonexpressive,
+            upstream=["50_type_vectors", "51_dataset", "52_classes"],
+        )
+
+        if expressive:
+            # frontier-wave expressive loop; per-wave state snapshots via
+            # ck.save_state make a killed run resume mid-extraction
+            def _expressive():
+                from sparktax.expressive import ExpressiveExtractor
+
+                ex = ExpressiveExtractor(kg, tv)
+                edges_list = ex.run(ckpt=ck, state_name="61_expressive")
+                return spark.createDataFrame(
+                    edges_list or [("", "")], "child string, parent string"
+                ).filter(F.col("child") != "")
+
+            ck.stage(
+                "61_expressive",
+                _expressive,
+                upstream=["50_type_vectors", "40_edges"],
+            )
     return ck.summary()
 
 
@@ -106,13 +171,21 @@ def main() -> None:
     ap.add_argument("--workdir", required=True, help="checkpoint directory")
     ap.add_argument("--isa-uri", default="is_a")
     ap.add_argument("--no-taxonomy", action="store_true")
+    ap.add_argument("--expressive", action="store_true")
+    ap.add_argument("--encode-method", default="hash", choices=["hash", "dense"])
     args = ap.parse_args()
     from sparktax.session import get_spark
 
     spark = get_spark(app="sparktax-pipeline")
     transcripts = spark.read.parquet(args.input)
     summary = run_pipeline(
-        spark, transcripts, args.workdir, isa_uri=args.isa_uri, taxonomy=not args.no_taxonomy
+        spark,
+        transcripts,
+        args.workdir,
+        isa_uri=args.isa_uri,
+        taxonomy=not args.no_taxonomy,
+        encode_method=args.encode_method,
+        expressive=args.expressive,
     )
     print(json.dumps(summary, indent=1))
     spark.stop()

@@ -82,9 +82,13 @@ def test_full_pipeline_and_resume(spark, tmp_path):
         "40_edges",
         "41_nodes",
         "50_type_vectors",
+        "51_dataset",
+        "52_classes",
+        "60_taxonomy",
     }
     assert summary["10_raw_triples"]["rows"] > 0
     assert summary["40_edges"]["rows"] > 0
+    assert summary["51_dataset"]["rows"] > 0
 
     # resume: a second run must reuse every stage (wall time ~0 writes)
     import time

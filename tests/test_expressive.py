@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sparktax import synth
 from sparktax.axioms import And, Concept, Existential, Neg, Or, Remainder, Top, parse_axiom
@@ -113,6 +114,33 @@ def test_local_inducer_needs_and():
     assert rec["sco"] == pytest.approx(1.0)
 
 
+def test_local_inducer_filters_relation_duplicates():
+    """Reference filter_similar_axioms (inducer.py:249-261): among
+    existential atoms of ONE relation only the best-scoring survives a
+    round; concept atoms are exempt."""
+    A = np.zeros((40, 4), dtype=bool)
+    A[:8, 0] = True            # E:7.C:1 — the best hub-relation atom
+    A[:7, 1] = True            # E:7.C:2 — strictly worse variant
+    A[:6, 2] = True            # E:7.C:3 — strictly worse variant
+    A[8:15, 3] = True          # C:5 — concept atom (exempt)
+    mask = np.zeros(40, dtype=bool)
+    mask[:16] = True
+    keys = ["E:7.C:1", "E:7.C:2", "E:7.C:3", "C:5"]
+
+    filtered = LocalInducer(A, keys, mask, filter_similar=True).find(
+        max_axioms=1, min_gain=0.01, keep_n=10, threshold=0.99
+    )
+    fk = {r["axiom"] for r in filtered}
+    assert "E:7.C:1" in fk and "C:5" in fk
+    assert "E:7.C:2" not in fk and "E:7.C:3" not in fk
+
+    unfiltered = LocalInducer(A, keys, mask, filter_similar=False).find(
+        max_axioms=1, min_gain=0.01, keep_n=10, threshold=0.99
+    )
+    uk = {r["axiom"] for r in unfiltered}
+    assert {"E:7.C:1", "E:7.C:2", "E:7.C:3", "C:5"} <= uk
+
+
 # ------------------------------------------------------------------ end-to-end
 def test_expressive_extractor_finds_planted_expressions(ekg):
     from sparktax.expressive import ExpressiveExtractor, ExpressiveParams
@@ -146,3 +174,85 @@ def test_expressive_extractor_finds_planted_expressions(ekg):
         assert any(
             tag in c and book_tag in p for c, p in edges
         ), (tag, edges)
+
+
+def test_expressive_kill_resume_matches_uninterrupted(ekg, spark, tmp_path):
+    """O68: per-wave state snapshots — a run killed after wave 1 resumes
+    from the manifest and ends bit-identical to an uninterrupted run."""
+    from dataclasses import replace
+
+    from sparktax.ckpt import StageCheckpointer
+    from sparktax.expressive import ExpressiveExtractor, ExpressiveParams
+    from sparktax.typevec import type_vectors
+
+    kg, triples, info = ekg
+    emb = type_vectors(kg, k=16).localCheckpoint()
+    params = ExpressiveParams(
+        size=500, min_size=25, max_waves=3, threshold_initial=0.9, seed=1
+    )
+    full = ExpressiveExtractor(kg, emb, params).run()
+
+    ck = StageCheckpointer(spark, str(tmp_path / "exp"))
+    killed = ExpressiveExtractor(kg, emb, replace(params, max_waves=1)).run(ckpt=ck)
+    st = ck.load_state("expressive")
+    assert st is not None and st["waves"] == 1
+    assert [tuple(e) for e in st["taxonomy"]] == killed
+    # resume with the original wave budget: continues waves 2..3
+    resumed = ExpressiveExtractor(kg, emb, params).run(ckpt=ck)
+    assert resumed == full
+    assert ck.load_state("expressive")["waves"] == 3
+
+
+def test_remainder_regeneration_on_relax(ekg, spark):
+    """When the queue drains, the relaxed threshold revisits the
+    *remainders* of extracted classes (reference extractor.py:90-98) —
+    remainder tasks appear and attach children to their base."""
+    from sparktax.expressive import ExpressiveExtractor, ExpressiveParams
+
+    kg, triples, info = ekg
+    from sparktax.typevec import type_vectors
+
+    emb = type_vectors(kg, k=16).localCheckpoint()
+    params = ExpressiveParams(
+        size=500, min_size=25, max_waves=6,
+        threshold_initial=0.95, threshold_min=0.6, threshold_step=0.1, seed=1,
+    )
+    ex = ExpressiveExtractor(kg, emb, params)
+    edges = ex.run()
+    # the relax path ran: final threshold is below the initial one
+    assert ex.threshold < 0.95
+    # remainder children never appear as parents of non-remainder nodes
+    rem_parents = {p for _, p in edges if p.startswith("REM(")}
+    assert not rem_parents
+
+
+def test_named_taxonomy_semi_joins_dims(spark):
+    """named_taxonomy must not collect the dims: works against a dim far
+    too large to bring to the driver (only the referenced ids land)."""
+    import time
+
+    from sparktax.expressive import ExpressiveExtractor
+    from sparktax.graph import KnowledgeGraph
+
+    big = 20_000_000
+    ents = spark.range(big).select(
+        F.col("id"), F.concat(F.lit("dbr:e"), F.col("id")).alias("uri")
+    )
+    rels = spark.range(1000).select(
+        F.col("id"), F.concat(F.lit("rel"), F.col("id")).alias("uri")
+    )
+    triples = spark.range(1).select(
+        F.col("id").alias("h"), F.lit(0).alias("r"), F.col("id").alias("t")
+    )
+    kg = KnowledgeGraph(triples, ents, rels)
+    ex = ExpressiveExtractor.__new__(ExpressiveExtractor)
+    ex.kg = kg
+    edges = [("AND(C:5,E:7.C:11)", "C:5"), ("REM(C:5|C:9)", "T")]
+    t0 = time.perf_counter()
+    named = ex.named_taxonomy(edges)
+    wall = time.perf_counter() - t0
+    assert named == [
+        ("dbr:e5 ⊓ ∃rel7.dbr:e11", "dbr:e5"),
+        ("*dbr:e5", "⊤"),
+    ]
+    assert wall < 30  # a full 20M-row toPandas would blow far past this
