@@ -31,6 +31,7 @@ HEADLINE = [
     "link_mentions",
     "dedup_groups",
     "minhash_neardup",
+    "simhash",
     "cosine_topk",
     "agg_pricing",
     "topk_window",

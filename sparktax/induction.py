@@ -219,7 +219,7 @@ class LocalInducer:
         # beam entries: (vec, key, used_atom_indices, cov, spe, sco)
         beam = [(np.zeros(n, dtype=bool), None, frozenset(), 0.0, 0.0, 0.0)]
         best: dict[str, dict] = {}
-        for _ in range(max_axioms):
+        for step in range(max_axioms):
             cands: list[tuple] = []
             for vec, key, used, icov, ispe, isco in beam:
                 ops = []
@@ -266,7 +266,9 @@ class LocalInducer:
                     continue
                 seen_keys.add(nk)
                 next_beam.append((vec, nk, used, cov, spe, sco))
-                best[nk] = {"axiom": nk, "cov": cov, "spe": spe, "sco": sco}
+                best[nk] = {
+                    "axiom": nk, "cov": cov, "spe": spe, "sco": sco, "step": step,
+                }
                 if len(next_beam) >= keep_n:
                     break
             beam = next_beam
@@ -287,3 +289,11 @@ class LocalInducer:
             if r["sco"] >= threshold:
                 return r
         return None
+
+    def find_results(self, **kw) -> "ResultDict":
+        """:class:`sparktax.results.ResultDict` view of :meth:`find` —
+        per-step ranked records with the reference's filter/rank API
+        (reference ResultDict, libs/axiom_extraction/results.py:35-116)."""
+        from sparktax.results import ResultDict
+
+        return ResultDict.from_records(self.find(**kw))
