@@ -59,6 +59,64 @@ def extract_triples_with_ts(transcripts: DataFrame) -> DataFrame:
     return extract_triples(transcripts, passthrough=("ts",))
 
 
+def stream_contextual_triples(transcripts: DataFrame) -> DataFrame:
+    """Cross-batch pronoun coreference: a custom stateful operator via
+    ``applyInPandasWithState`` keyed by ``conv_id``.
+
+    The batch lane resolves pronouns with a window forward-fill
+    (:func:`sparktax.extract.extract_triples_contextual`); a stream cannot
+    window over unbounded history, so the per-conversation "most recent
+    explicit subject" lives in GroupState and survives across micro-batches
+    (a pronoun in batch N resolves to a subject last seen in batch N−k).
+
+    Contract: turns of one conversation arrive in ``turn_idx`` order across
+    batches (the standard Kafka key=conv_id guarantee); within a batch any
+    order is fine (sorted before resolution). Unresolvable pronoun
+    statements (no explicit subject seen yet) are dropped, matching the
+    batch lane. Resolution inside a batch is a vectorized pandas
+    forward-fill, not a per-row loop.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sparktax.extract import extract_triples
+    from sparktax.extract.rules import PRONOUNS
+
+    ex = extract_triples(transcripts, keep_pronouns=True, with_stmt_idx=True)
+    out_schema = "conv_id string, turn_idx int, subj string, pred string, obj string"
+    state_schema = "last_subj string"
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    pron = sorted(PRONOUNS)
+
+    def resolve(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["turn_idx", "stmt_idx"], kind="mergesort")
+            explicit = pdf["subj"].where(~pdf["subj"].isin(pron))
+            resolved = explicit.ffill()
+            if last is not None:
+                resolved = resolved.fillna(last)
+            nonnull = explicit.dropna()
+            if len(nonnull):
+                last = nonnull.iloc[-1]
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "subj": resolved,
+                    "pred": pdf["pred"],
+                    "obj": pdf["obj"],
+                }
+            )
+            yield out[out["subj"].notna()][cols]
+        if last is not None:
+            state.update((last,))
+
+    return ex.groupBy("conv_id").applyInPandasWithState(
+        resolve, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def ingest_to_graph(
     transcripts: DataFrame,
     out_dir: str,

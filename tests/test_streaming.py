@@ -67,6 +67,72 @@ def test_windowed_counts_memory_sink(spark, transcript_drop):
     assert set(got.columns) == {"w", "pred", "n_triples"}
 
 
+def test_stateful_contextual_across_batches(spark, tmp_path):
+    """applyInPandasWithState coref: a pronoun arriving in batch 2 resolves
+    to the explicit subject seen in batch 1 — per-conversation GroupState
+    survives across micro-batches. Output must equal the batch-lane window
+    forward-fill on the concatenated input."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from sparktax.extract import extract_triples_contextual
+    from sparktax.streaming import stream_contextual_triples
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool"]
+        )
+        pdf["ts"] = pd.Timestamp("2026-01-01")
+        return pdf
+
+    drop1 = mk(
+        [
+            ("c1", 0, "user", "well Alice_X works_at Acme_Corp. ok", ""),
+            ("c2", 0, "user", "note It works_at Nowhere_Inc. hm", ""),  # unresolvable
+        ]
+    )
+    drop2 = mk(
+        [
+            ("c1", 1, "user", "then It works_at Globex_Inc. done", ""),
+            ("c2", 1, "user", "and Bob_Y located_in Paris_FR. yes", ""),
+        ]
+    )
+    path = str(tmp_path / "drops")
+    synth.transcripts_to_spark(spark, drop1).coalesce(1).write.mode("overwrite").parquet(path)
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    synth.transcripts_to_spark(spark, drop2).coalesce(1).write.mode("append").parquet(path)
+
+    stream = read_transcript_stream(spark, path, max_files_per_trigger=1)
+    out = stream_contextual_triples(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("coref")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from coref").toPandas()
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+    both = pd.concat([drop1, drop2], ignore_index=True)
+    want = (
+        extract_triples_contextual(synth.transcripts_to_spark(spark, both))
+        .toPandas()
+        .sort_values(key, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[key], want[key], check_dtype=False)
+    # the cross-batch resolution really happened
+    assert ("c1", 1, "Alice_X", "works_at", "Globex_Inc") in set(
+        map(tuple, got[key].itertuples(index=False))
+    )
+
+
 def test_extract_with_ts_passthrough(spark, transcript_drop):
     path, pdf, gold = transcript_drop
     batch = spark.read.parquet(path)
