@@ -305,6 +305,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: documents sharing ≥1 distinct word
+    5-gram with a probe set (here: the first 120 chars of every 100th doc,
+    standing in for benchmark texts). Probe shingles broadcast; the corpus
+    is touched once."""
+    from sparktax.textops import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("probe_id"), F.substring("text", 1, 120).alias("text")
+    )
+    return decontaminate(docs, probes, n=5).select("doc_id", "probe_id", "n_matches")
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparktax.textops import language_id
 
@@ -484,6 +498,16 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first()[0])
     queries = emb.orderBy("vec_id").limit(5)
     return lsh_topk(emb, queries, dim=dim, k=4)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only: recall is probabilistic; exactness at
+    full probe + recall bound are pytest-asserted)."""
+    from sparktax.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return ivf_topk(emb, queries, k=4, n_cells=16, n_probe=4)
 
 
 def q_uri_shorten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,6 +702,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
         "language_id": q_language_id,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -702,6 +727,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "taxonomy_blobs": q_taxonomy_blobs,
     }
 
@@ -901,6 +927,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = a
             JOIN sizes sb ON sb.id = b
             WHERE ni / (sa.n + sb.n - ni) >= 0.5
+        """,
+        "decontaminate": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm}, ' '), x -> x <> '')
+                           AS toks
+                FROM documents
+            ),
+            dg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[i : i + 4], ' ') AS shingle
+                FROM d, LATERAL (SELECT unnest(range(1,
+                     greatest(len(toks) - 4, 1) + 1)) AS i)
+                WHERE len(toks[i : i + 4]) >= 5
+            ),
+            p AS (
+                SELECT doc_id AS probe_id,
+                       substring(text, 1, 120) AS text
+                FROM documents WHERE doc_id % 100 = 7
+            ),
+            pt AS (
+                SELECT probe_id,
+                       list_filter(string_split({norm}, ' '), x -> x <> '')
+                           AS toks
+                FROM p
+            ),
+            pg AS (
+                SELECT DISTINCT probe_id,
+                       array_to_string(toks[i : i + 4], ' ') AS shingle
+                FROM pt, LATERAL (SELECT unnest(range(1,
+                     greatest(len(toks) - 4, 1) + 1)) AS i)
+                WHERE len(toks[i : i + 4]) >= 5
+            )
+            SELECT dg.doc_id, pg.probe_id, count(*) AS n_matches
+            FROM dg JOIN pg USING (shingle)
+            GROUP BY 1, 2
         """,
         "language_id": _lang_sql(),
         "token_counts": f"""
@@ -1113,7 +1175,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "simhash": _simhash_sql(),
-        # sample_deterministic, minhash_neardup, lsh_topk, taxonomy_blobs:
-        # intentionally omitted (non-SQL-expressible / engine-specific
-        # hashing) → driver rows-only check.
+        # sample_deterministic, minhash_neardup, lsh_topk, ivf_topk,
+        # taxonomy_blobs: intentionally omitted (non-SQL-expressible /
+        # engine-specific hashing / probabilistic recall) → driver
+        # rows-only check.
     }

@@ -201,6 +201,81 @@ def simhash_near_duplicates(
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def word_shingles(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingle) — distinct word n-grams of the normalized text,
+    entirely Catalyst (sequence + transform + explode, no UDF)."""
+    toks = F.filter(tokens_expr(F.col(text_col)), lambda t: t != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), grams.alias("_g"))
+        .select("id", F.explode("_g").alias("shingle"))
+        .filter(
+            (F.col("shingle") != "")
+            & (F.size(F.split(F.col("shingle"), " ")) >= n)
+        )
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    min_matches: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """(doc_id, probe_id, n_matches) — documents sharing ≥ ``min_matches``
+    distinct word ``n``-grams with any probe (benchmark/eval) text: the
+    standard training-data decontamination primitive.
+
+    Scale shape: the probe set is small by definition (benchmarks), so its
+    shingles broadcast; the corpus-side shingling is a narrow explode and
+    the match is a broadcast equi-join — the 100 TB corpus is touched once,
+    no shuffle of corpus bytes. ``anti=True`` callers: use
+    :func:`decontaminated` to keep only clean documents.
+    """
+    doc_sh = word_shingles(documents, n, text_col, id_col).withColumnRenamed(
+        "id", "doc_id"
+    )
+    probe_sh = (
+        word_shingles(probes, n, probe_text_col, probe_id_col)
+        .withColumnRenamed("id", "probe_id")
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+
+
+def decontaminated(
+    documents: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    min_matches: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Documents with NO contaminating probe overlap (broadcast anti-join
+    on the hit set)."""
+    hits = decontaminate(
+        documents, probes, n, min_matches, text_col, id_col, probe_text_col
+    ).select("doc_id").distinct()
+    return documents.join(
+        hits.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+
+
 # --------------------------------------------------------------------------
 # language ID / quality / tokens
 # --------------------------------------------------------------------------

@@ -53,6 +53,33 @@ def test_lsh_topk_recall(spark, emb):
     assert len(a & e) / len(e) >= 0.7
 
 
+def test_ivf_topk_recall_and_exactness_at_full_probe(spark, emb):
+    from sparktax.simsearch import ivf_assign, ivf_topk, train_ivf_centroids
+
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = cosine_topk(emb, queries, k=3).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+
+    cents = train_ivf_centroids(emb, n_cells=8, sample=512, seed=3)
+    # every vector lands in exactly one cell
+    cells = ivf_assign(emb, cents).toPandas()
+    assert len(cells) == emb.count()
+    assert cells.cell.between(0, len(cents) - 1).all()
+    assert cells.cell.nunique() > 1  # clustering actually split the corpus
+
+    # probing every cell ⇒ candidate set = full corpus ⇒ exact results
+    full = ivf_topk(
+        emb, queries, k=3, n_probe=len(cents), centroids=cents
+    ).toPandas()
+    f = set(zip(full.query_id, full.neighbor_id))
+    assert f == e
+
+    # realistic probe count (half the cells): high recall on the fixture
+    approx = ivf_topk(emb, queries, k=3, n_probe=4, centroids=cents).toPandas()
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(a & e) / len(e) >= 0.75
+
+
 def test_centroids_vs_numpy(spark, emb):
     got = centroid_per_label(emb).toPandas()
     pdf = emb.toPandas()

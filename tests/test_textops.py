@@ -100,6 +100,36 @@ def test_simhash_hamming(spark):
     assert (1, 2) in set(zip(pairs.a, pairs.b))
 
 
+def test_decontaminate_planted(spark):
+    probe_sent = "the quick brown fox jumps over the lazy benchmark dog"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"some filler text then {probe_sent} and more words after",
+                "totally unrelated content with no overlap at all here friend",
+                # partial overlap below the n-gram length → clean
+                "the quick brown fox sleeps instead of jumping anywhere",
+            ],
+        }
+    )
+    probes = pd.DataFrame({"probe_id": [100], "text": [probe_sent]})
+    docs = spark.createDataFrame(pdf)
+    pr = spark.createDataFrame(probes)
+    hits = textops.decontaminate(docs, pr, n=8).toPandas()
+    assert set(zip(hits.doc_id, hits.probe_id)) == {(1, 100)}
+    # doc 1 contains all 3 distinct 8-grams of the 10-word probe sentence
+    assert int(hits.n_matches.iloc[0]) == 3
+    clean = textops.decontaminated(docs, pr, n=8).toPandas()
+    assert set(clean.doc_id) == {2, 3}
+
+
+def test_word_shingles_short_docs(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one two", "", None]})
+    sh = textops.word_shingles(spark.createDataFrame(pdf), 3, "text", "doc_id")
+    assert sh.count() == 0  # nothing shorter than n leaks out
+
+
 def test_language_id(spark):
     pdf = pd.DataFrame(
         {
