@@ -205,6 +205,69 @@ def read_openke_dir(
     return triples, entities, relations
 
 
+def write_openke_text_dir(
+    triples: DataFrame,
+    entities: DataFrame,
+    relations: DataFrame,
+    dirname: str,
+    test_split: float = 0.1,
+    val_split: float = 0.1,
+    seed: int = 42,
+    max_rows: int = 5_000_000,
+) -> None:
+    """Reference-layout text sink: ``entity2id.txt`` / ``relation2id.txt``
+    (count header + ``uri<TAB>id``) and ``train2id.txt`` /
+    ``valid2id.txt`` / ``test2id.txt`` (count header + **h t r** rows) —
+    exactly what :func:`read_openke_dir` and the reference's ``from_dir``
+    consume (reference to_dir, knowledge_graph.py:199-225; we seed the
+    split, the reference does not).
+
+    The count header makes this format inherently single-file, so it is a
+    driver-side export for interchange at sample scale (``max_rows``
+    guard); the parquet layout (:func:`write_openke_dir`) is the
+    distributed sink.
+    """
+    import os
+
+    n = triples.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{n} triples exceed max_rows={max_rows}; use write_openke_dir "
+            "(parquet) for large graphs — the text format's count header "
+            "forces a single driver-side file"
+        )
+    os.makedirs(dirname, exist_ok=True)
+
+    def _write_ids(df: DataFrame, fname: str) -> None:
+        rows = df.select("uri", "id").orderBy("id").collect()
+        with open(os.path.join(dirname, fname), "w", encoding="utf8") as f:
+            f.write(f"{len(rows)}\n")
+            f.writelines(f"{r.uri}\t{r.id}\n" for r in rows)
+
+    _write_ids(entities, "entity2id.txt")
+    _write_ids(relations, "relation2id.txt")
+
+    # deterministic split on xxhash64(h, r, t, seed) — same row always
+    # lands in the same split regardless of partitioning
+    u = (F.pmod(F.xxhash64("h", "r", "t", F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
+    tagged = triples.withColumn(
+        "_split",
+        F.when(u < test_split, F.lit("test"))
+        .when(u < test_split + val_split, F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )
+    for split in ("train", "valid", "test"):
+        rows = (
+            tagged.filter(F.col("_split") == split)
+            .select("h", "t", "r")
+            .orderBy("h", "r", "t")
+            .collect()
+        )
+        with open(os.path.join(dirname, f"{split}2id.txt"), "w", encoding="utf8") as f:
+            f.write(f"{len(rows)}\n")
+            f.writelines(f"{r.h} {r.t} {r.r}\n" for r in rows)
+
+
 def write_openke_dir(
     triples: DataFrame,
     entities: DataFrame,

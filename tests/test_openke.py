@@ -108,6 +108,33 @@ def test_max_triples_applies_after_filters(spark, openke_dir):
     assert _rows(t) <= _rows(full)
 
 
+def test_text_writer_roundtrip(spark, openke_dir, tmp_path):
+    """write_openke_text_dir emits the reference layout that
+    read_openke_dir (and the reference from_dir) consume: full roundtrip
+    preserves the triple multiset, dims, and split sizes."""
+    from sparktax.graph.io import write_openke_text_dir
+
+    t, e, r = read_openke_dir(spark, openke_dir)
+    out = str(tmp_path / "export")
+    write_openke_text_dir(t, e, r, out, test_split=0.2, val_split=0.2, seed=7)
+    t2, e2, r2 = read_openke_dir(spark, out)
+    assert _rows(t2) == _rows(t)
+    assert e2.count() == e.count() and r2.count() == r.count()
+    # header counts match body lengths, and the split is seeded-deterministic
+    for fname in ("train2id.txt", "valid2id.txt", "test2id.txt"):
+        lines = open(f"{out}/{fname}").read().splitlines()
+        assert int(lines[0]) == len(lines) - 1
+    first = open(f"{out}/train2id.txt").read()
+    out2 = str(tmp_path / "export2")
+    write_openke_text_dir(t, e, r, out2, test_split=0.2, val_split=0.2, seed=7)
+    assert open(f"{out2}/train2id.txt").read() == first
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_openke_text_dir(t, e, r, str(tmp_path / "cap"), max_rows=2)
+
+
 def test_unknown_names_ignored(spark, openke_dir):
     t, _, _ = read_openke_dir(
         spark, openke_dir,
