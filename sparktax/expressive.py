@@ -116,24 +116,39 @@ class ExpressiveExtractor:
 
     # ---------------------------------------------------------- sampling
     def _sample_tasks(self, axioms: list[str]) -> tuple[DataFrame, dict[int, str]]:
-        """One (task_id, h) sample DF for the whole frontier."""
+        """One (task_id, h) sample DF for the whole frontier.
+
+        Each task's sample is a seeded hash-order top-``size``
+        (TakeOrderedAndProject: per-partition top-k + driver merge, no
+        shuffle, no full sort even over ⊤'s extension). The wave's tasks
+        submit as CONCURRENT Spark jobs from driver threads — wave latency
+        is the slowest extension scan, not the sum of 16 of them. The
+        combined sample is ≤ wave_size·size rows (8k at defaults), so it
+        lands driver-side and re-enters as a local (broadcastable)
+        DataFrame — cheaper than the localCheckpoint it replaces.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = self.kg.triples.sparkSession
-        parts = []
-        task_of = {}
-        for tid, key in enumerate(axioms):
-            ax = parse_axiom(key)
-            ext = ax.extension(self.kg)
-            samp = (
-                ext.orderBy(F.xxhash64(F.col("h"), F.lit(self.p.seed + tid)))
+        task_of = dict(enumerate(axioms))
+
+        def one(tid: int) -> list[tuple[int, int]]:
+            ax = parse_axiom(task_of[tid])
+            rows = (
+                ax.extension(self.kg)
+                .orderBy(F.xxhash64(F.col("h"), F.lit(self.p.seed + tid)))
                 .limit(self.p.size)
-                .select(F.lit(tid).cast("long").alias("task_id"), "h")
+                .select("h")
+                .collect()
             )
-            parts.append(samp)
-            task_of[tid] = key
-        df = parts[0]
-        for x in parts[1:]:
-            df = df.union(x)
-        return df.localCheckpoint(), task_of
+            return [(tid, r.h) for r in rows]
+
+        with ThreadPoolExecutor(max_workers=min(8, max(len(axioms), 1))) as exe:
+            all_rows = [r for part in exe.map(one, task_of) for r in part]
+        df = spark.createDataFrame(
+            all_rows, "task_id long, h long"
+        ) if all_rows else spark.createDataFrame([], "task_id long, h long")
+        return df, task_of
 
     # ---------------------------------------------------------- kernel
     def _label_wave(self, samples: DataFrame) -> pd.DataFrame:
