@@ -64,6 +64,68 @@ class ExpressiveParams:
     salt_hot_min: int | None = None  # salt 2-hop join keys above this count
     salt_buckets: int = 16
 
+    @classmethod
+    def from_json(cls, path_or_dict) -> "ExpressiveParams":
+        """Load the reference's nested params JSON
+        (libs/expressive/default.json via libs/utils/params.py) into this
+        flat dataclass. Unmapped reference knobs (record/display/extra —
+        notebook bookkeeping) are ignored; unknown TOP-LEVEL keys matching
+        a field are applied directly, so a sparktax-native flat JSON loads
+        through the same door.
+        """
+        import json
+
+        d = path_or_dict
+        if not isinstance(d, dict):
+            with open(d) as f:
+                d = json.load(f)
+        p = cls()
+
+        def pick(*path, default=None):
+            cur = d
+            for k in path:
+                if not isinstance(cur, dict) or k not in cur:
+                    return default
+                cur = cur[k]
+            return cur
+
+        size = pick("size")
+        # reference allows size as int or {"size": ..., "initial": ...}
+        p.size = int(size["size"] if isinstance(size, dict) else size) if size else p.size
+        if pick("seed") is not None:
+            p.seed = int(pick("seed"))
+        p.threshold_initial = float(pick("threshold", "initial", default=p.threshold_initial))
+        p.threshold_min = float(pick("threshold", "min", default=p.threshold_min))
+        p.threshold_step = float(pick("threshold", "step", default=p.threshold_step))
+        p.threshold_expressive = float(
+            pick("threshold", "expressive", default=p.threshold_expressive)
+        )
+        p.max_depth = int(pick("max_depth", default=p.max_depth))
+        p.max_axioms = int(pick("max_axioms", default=p.max_axioms))
+        p.min_gain = float(pick("min_gain", default=p.min_gain))
+        p.keep_n = int(pick("others", "n", default=p.keep_n))
+        p.min_size = int(pick("halting", "min_size", default=p.min_size))
+        p.max_nodes = int(
+            pick("halting", "max_clustering_steps", default=p.max_nodes)
+        )
+        p.linkage = pick("clustering", "linkage", default=p.linkage)
+        p.metric = pick("clustering", "affinity", default=p.metric)
+        score = pick("metric")
+        if isinstance(score, str):
+            p.score = score
+        # flat sparktax-native keys win last (skip names the reference
+        # schema already consumed — its "metric" means our "score")
+        consumed = {
+            "size", "seed", "threshold", "max_depth", "max_axioms",
+            "min_gain", "others", "halting", "clustering", "metric",
+            "patterns", "extra", "record", "display",
+        }
+        for f_ in p.__dataclass_fields__:
+            if f_ in d and f_ not in consumed and not isinstance(d[f_], dict):
+                if d[f_] is not None:
+                    setattr(p, f_, d[f_])
+        return p
+
 
 @dataclass
 class _State:

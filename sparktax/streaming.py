@@ -59,7 +59,9 @@ def extract_triples_with_ts(transcripts: DataFrame) -> DataFrame:
     return extract_triples(transcripts, passthrough=("ts",))
 
 
-def stream_contextual_triples(transcripts: DataFrame) -> DataFrame:
+def stream_contextual_triples(
+    transcripts: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
     """Cross-batch pronoun coreference: a custom stateful operator via
     ``applyInPandasWithState`` keyed by ``conv_id``.
 
@@ -75,6 +77,12 @@ def stream_contextual_triples(transcripts: DataFrame) -> DataFrame:
     statements (no explicit subject seen yet) are dropped, matching the
     batch lane. Resolution inside a batch is a vectorized pandas
     forward-fill, not a per-row loop.
+
+    ``state_ttl_ms`` (milliseconds): processing-time idle timeout — a
+    conversation silent for that long drops its state row. Without it the
+    state store holds one row per conversation EVER seen, which at
+    10¹²-turn scale is an unbounded-state leak; with it, state is bounded
+    by the number of conversations active within the TTL window.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -89,6 +97,9 @@ def stream_contextual_triples(transcripts: DataFrame) -> DataFrame:
     pron = sorted(PRONOUNS)
 
     def resolve(key, pdfs, state):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         last = state.get[0] if state.exists else None
         for pdf in pdfs:
             pdf = pdf.sort_values(["turn_idx", "stmt_idx"], kind="mergesort")
@@ -111,9 +122,16 @@ def stream_contextual_triples(transcripts: DataFrame) -> DataFrame:
             yield out[out["subj"].notna()][cols]
         if last is not None:
             state.update((last,))
+        if state_ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(int(state_ttl_ms))
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return ex.groupBy("conv_id").applyInPandasWithState(
-        resolve, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        resolve, out_schema, state_schema, "append", timeout
     )
 
 

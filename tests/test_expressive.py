@@ -141,6 +141,37 @@ def test_local_inducer_filters_relation_duplicates():
     assert {"E:7.C:1", "E:7.C:2", "E:7.C:3", "C:5"} <= uk
 
 
+def test_params_from_reference_default_json():
+    """ExpressiveParams.from_json loads the reference's shipped
+    libs/expressive/default.json verbatim."""
+    import os
+
+    from sparktax.expressive import ExpressiveParams
+
+    path = "/root/reference/libs/expressive/default.json"
+    if not os.path.exists(path):
+        pytest.skip("reference default.json not present")
+    p = ExpressiveParams.from_json(path)
+    assert p.size == 1000
+    assert p.threshold_initial == 0.9 and p.threshold_min == 0.6
+    assert p.threshold_step == 0.05 and p.threshold_expressive == 0.5
+    assert p.max_depth == 4 and p.max_axioms == 2 and p.min_gain == 0.08
+    assert p.keep_n == 8 and p.min_size == 30 and p.max_nodes == 100
+    assert p.linkage == "ward" and p.metric == "euclidean"
+    assert p.score == "harmonic"
+    assert p.seed == 42  # reference's null seed keeps our seeded default
+
+
+def test_params_from_flat_dict():
+    from sparktax.expressive import ExpressiveParams
+
+    p = ExpressiveParams.from_json(
+        {"wave_size": 4, "max_waves": 2, "salt_buckets": 8, "threshold": {"min": 0.7}}
+    )
+    assert p.wave_size == 4 and p.max_waves == 2 and p.salt_buckets == 8
+    assert p.threshold_min == 0.7
+
+
 # ------------------------------------------------------------------ end-to-end
 def test_expressive_extractor_finds_planted_expressions(ekg):
     from sparktax.expressive import ExpressiveExtractor, ExpressiveParams

@@ -132,6 +132,29 @@ def test_stateful_contextual_across_batches(spark, tmp_path):
         map(tuple, got[key].itertuples(index=False))
     )
 
+    # TTL variant (processing-time idle timeout): same output while the
+    # conversations stay active inside the window
+    q2 = (
+        stream_contextual_triples(
+            read_transcript_stream(spark, path, max_files_per_trigger=1),
+            state_ttl_ms=3_600_000,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("coref_ttl")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = (
+        spark.sql("select * from coref_ttl")
+        .toPandas()
+        .sort_values(key, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2[key], want[key], check_dtype=False)
+
 
 def test_extract_with_ts_passthrough(spark, transcript_drop):
     path, pdf, gold = transcript_drop
