@@ -85,3 +85,25 @@ def test_catalog_shim_parquet_fallback(spark, tmp_path):
     # append mode (same partitioning — mixed layouts are invalid)
     write_table(df, target, partition_by=("h",), mode="append")
     assert read_table(spark, target).count() == 40
+
+
+def test_millify_matches_reference_formula(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparktax.fmt import millify, reference_millify, shorten_path
+
+    vals = [
+        0, 1, 9, 10, 999, 1000, 1049, 1051, 9999, 10_400, 999_999,
+        1_000_000, 1_250_000, 12_500_000, 999_950_000, 1_000_000_000,
+        2_500_000_000_000, 9_999_999_999_999_999,
+        -5, -12_500, -3_200_000,
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"n": vals}))
+    got = dict(
+        zip(vals, df.select(millify(F.col("n")).alias("m")).toPandas()["m"])
+    )
+    for v in vals:
+        assert got[v] == reference_millify(v), (v, got[v], reference_millify(v))
+    assert shorten_path("a/b") == "a/b"
+    assert shorten_path("root/" + "x/" * 30 + "leaf", max_len=10) == "root/…/leaf"
