@@ -117,8 +117,60 @@ def test_multimodal_plumbing(spark):
     rz = resize_metadata(media, max_side=32).toPandas()
     assert (rz[["target_width", "target_height"]].max(axis=1) <= 32).all()
 
-    # the real decoder is an explicit stub
+    # codec formats (opaque bytes) still raise under the real decoder
     import pytest as _pt
 
     with _pt.raises(Exception):
         extract_features(media, decoder="real").collect()
+
+
+def test_multimodal_real_decode(spark):
+    """PPM/WAV decode natively (numpy-only): real features end-to-end,
+    codec round-trips exact, resize matches the SQL bookkeeping."""
+    import numpy as np
+
+    from sparktax.multimodal import (
+        MEDIA,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+        gen_media_pdf,
+        resize_images,
+        resize_metadata,
+    )
+
+    # codec round-trips
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+    rate, pcm = 8000, np.sin(np.linspace(0, 40, 8000)).astype(np.float32) * 0.5
+    r2, pcm2 = decode_wav(encode_wav(pcm, rate))
+    assert r2 == rate
+    np.testing.assert_allclose(pcm2, pcm, atol=1.5 / 32767)
+
+    pdf = gen_media_pdf(30, seed=7, real_payloads=True)
+    media = spark.createDataFrame(pdf, schema=MEDIA)
+    non_video = media.filter("kind != 'video'")
+    feats = extract_features(non_video, decoder="real").toPandas()
+    assert len(feats) == non_video.count()
+    assert feats.feature.map(len).eq(16).all()
+    # audio rms ≈ amplitude/√2 for a sine: must be positive and ≤ peak
+    au = feats[feats.kind == "audio"].feature.map(lambda f: f[0])
+    pk = feats[feats.kind == "audio"].feature.map(lambda f: f[2])
+    assert (au > 0.05).all() and (au <= pk + 1e-6).all()
+    # image means land inside (0, 1)
+    im = feats[feats.kind == "image"].feature.map(lambda f: f[0])
+    assert im.between(0.01, 0.99).all()
+
+    # real pixel resize agrees with the SQL bookkeeping and stays decodable
+    rz = resize_images(media, max_side=32).toPandas().set_index("media_id")
+    meta = resize_metadata(media, max_side=32).toPandas().set_index("media_id")
+    assert set(rz.index) == set(meta.index)
+    for mid in rz.index:
+        assert rz.loc[mid, "width"] == meta.loc[mid, "target_width"]
+        assert rz.loc[mid, "height"] == meta.loc[mid, "target_height"]
+        out = decode_ppm(rz.loc[mid, "payload"])
+        assert out.shape == (rz.loc[mid, "height"], rz.loc[mid, "width"], 3)
+        assert max(out.shape[:2]) <= 32
