@@ -655,6 +655,24 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb, threshold=0.3, method="lsh")
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal lane (rows-only: binary payloads aren't SQL-expressible):
+    REAL numpy decode of PPM/WAV fixtures → 16-dim features."""
+    from sparktax.multimodal import MEDIA, extract_features, gen_media_pdf
+
+    media = spark.createDataFrame(
+        gen_media_pdf(60, seed=9, real_payloads=True), schema=MEDIA
+    )
+    feats = extract_features(media.filter(F.col("kind") != "video"), decoder="real")
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 5).alias("f0"),
+        F.round(F.element_at("feature", 3), 5).alias("f2"),
+    )
+
+
 def q_taxonomy_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden taxonomy extraction on planted blobs (rows-only: the HAC +
     Hungarian pipeline has no SQL equivalent). Returns the recovered
@@ -728,6 +746,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
         "taxonomy_blobs": q_taxonomy_blobs,
     }
 

@@ -135,6 +135,23 @@ def stream_contextual_triples(
     )
 
 
+def stream_dedup_triples(
+    transcripts: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (Kafka replays, file
+    redelivery) emit duplicate turns; drop re-extracted triples whose key
+    (conv_id, turn_idx, subj, pred, obj) was already seen within the
+    watermark horizon. State is bounded by the horizon —
+    ``dropDuplicatesWithinWatermark`` evicts keys once the event-time
+    watermark passes them (the unbounded-state-safe streaming dedup)."""
+    triples = extract_triples(transcripts, passthrough=("ts",)).withWatermark(
+        "ts", watermark
+    )
+    return triples.dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    )
+
+
 def ingest_to_graph(
     transcripts: DataFrame,
     out_dir: str,

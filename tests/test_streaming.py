@@ -156,6 +156,38 @@ def test_stateful_contextual_across_batches(spark, tmp_path):
     pd.testing.assert_frame_equal(got2[key], want[key], check_dtype=False)
 
 
+def test_stream_dedup_drops_redelivered_turns(spark, tmp_path):
+    """At-least-once redelivery: the same file content lands twice (two
+    drops); watermarked streaming dedup emits each triple once."""
+    import time
+
+    from sparktax.streaming import stream_dedup_triples
+
+    pdf, gold = synth.gen_transcripts_pdf(n_convs=10, seed=31)
+    path = str(tmp_path / "drops")
+    synth.transcripts_to_spark(spark, pdf).coalesce(1).write.mode("overwrite").parquet(path)
+    time.sleep(1.1)
+    synth.transcripts_to_spark(spark, pdf).coalesce(1).write.mode("append").parquet(path)
+
+    out = stream_dedup_triples(
+        read_transcript_stream(spark, path, max_files_per_trigger=1)
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedupstream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select conv_id, turn_idx, subj, pred, obj from dedupstream"
+    ).toPandas()
+    assert len(got) == len(gold)  # not 2 × gold
+    assert not got.duplicated().any()
+
+
 def test_extract_with_ts_passthrough(spark, transcript_drop):
     path, pdf, gold = transcript_drop
     batch = spark.read.parquet(path)
