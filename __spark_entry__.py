@@ -305,6 +305,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing): min md5-prefix
+    hash per sliding window of character 5-gram hashes."""
+    from sparktax.textops import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data decontamination: documents sharing ≥1 distinct word
     5-gram with a probe set (here: the first 120 chars of every 100th doc,
@@ -720,6 +729,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_groups": q_dedup_groups,
         "ngram_jaccard": q_ngram_jaccard,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "decontaminate": q_decontaminate,
         "language_id": q_language_id,
         "token_counts": q_token_counts,
@@ -946,6 +956,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = a
             JOIN sizes sb ON sb.id = b
             WHERE ni / (sa.n + sb.n - ni) >= 0.5
+        """,
+        "winnow_fingerprints": f"""
+            WITH d AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+                WHERE doc_id < 100
+            ),
+            g AS (
+                SELECT doc_id, i, substr(t, i, 5) AS gram
+                FROM d, LATERAL (SELECT unnest(range(1,
+                     greatest(length(t) - 4, 0) + 1)) AS i)
+                WHERE length(t) >= 5
+            ),
+            h AS (
+                SELECT doc_id, i,
+                       ({" + ".join(f"strpos('123456789abcdef', substr(md5(gram),{1 + j},1))::BIGINT * {16 ** (7 - j)}" for j in range(8))})
+                           AS hv
+                FROM g
+            ),
+            win AS (
+                SELECT doc_id, i,
+                       min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+                FROM h
+            )
+            SELECT DISTINCT doc_id, m AS fp FROM win WHERE i >= 4
         """,
         "decontaminate": f"""
             WITH d AS (

@@ -201,6 +201,53 @@ def simhash_near_duplicates(
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fp) — MOSS-style winnowing fingerprints (Schleimer et al.,
+    SIGMOD'03): hash every character ``k``-gram, keep the minimum hash of
+    each sliding window of ``w`` consecutive k-gram hashes, distinct.
+
+    Guarantees: any match of length ≥ w+k−1 between two documents shares
+    ≥1 fingerprint, while only ~2/(w+1) of positions are retained — the
+    local-similarity fingerprint for plagiarism/provenance detection.
+
+    All Catalyst: k-grams via posexplode of a substring transform, the
+    rolling window via a per-document sliding ``min`` (sort-spills on hot
+    docs, never resident in Python). The gram hash is an md5 prefix so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+    grams = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+            lambda i: norm.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_gram = documents.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("i", "gram")
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    hashed = pos_gram.select("doc_id", "i", h.alias("h"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        hashed.withColumn("_m", F.min("h").over(win))
+        .filter(F.col("i") >= w - 1)  # full windows only (i is 0-based)
+        .select("doc_id", F.col("_m").alias("fp"))
+        .distinct()
+    )
+
+
 def word_shingles(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, shingle) — distinct word n-grams of the normalized text,
     entirely Catalyst (sequence + transform + explode, no UDF)."""

