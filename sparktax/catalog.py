@@ -59,3 +59,126 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     if "/" in target:
         return spark.read.parquet(target)
     return spark.read.table(target)
+
+
+# ---------------------------------------------------------------------------
+# snapshot layer — Iceberg commit semantics on the parquet fallback
+# ---------------------------------------------------------------------------
+# Layout of a snapshot table directory:
+#   <dir>/v00001/…          immutable partitioned parquet per version
+#   <dir>/_snapshots.jsonl  append-only commit log (version, parent, rows,
+#                           bytes, partition_by, params, written_at)
+#   <dir>/_current          pointer file holding the live version number;
+#                           commit = one atomic os.replace, so readers see
+#                           either the old or the new snapshot, never a
+#                           half-written table (what Iceberg's metadata
+#                           pointer swap gives you).
+
+import json as _json
+import os as _os
+import time as _time
+
+
+def _version_dir(table_dir: str, version: int) -> str:
+    return _os.path.join(table_dir, f"v{version:05d}")
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: tuple[str, ...] = (),
+    params: dict | None = None,
+) -> int:
+    """Commit ``df`` as the next snapshot of ``table_dir``; returns the new
+    version. Old versions stay readable (time travel) until vacuumed."""
+    _os.makedirs(table_dir, exist_ok=True)
+    existing = [
+        int(d[1:])
+        for d in _os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    vdir = _version_dir(table_dir, version)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(vdir)
+
+    spark = df.sparkSession
+    rows = spark.read.parquet(vdir).count()
+    nbytes = sum(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _dirs, fs in _os.walk(vdir)
+        for f in fs
+    )
+    entry = {
+        "version": version,
+        "parent": current_version(table_dir),
+        "rows": int(rows),
+        "bytes": int(nbytes),
+        "partition_by": list(partition_by),
+        "params": params or {},
+        "written_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+    }
+    with open(_os.path.join(table_dir, "_snapshots.jsonl"), "a") as f:
+        f.write(_json.dumps(entry, sort_keys=True) + "\n")
+    _set_current(table_dir, version)
+    return version
+
+
+def _set_current(table_dir: str, version: int) -> None:
+    tmp = _os.path.join(table_dir, "_current.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    _os.replace(tmp, _os.path.join(table_dir, "_current"))  # atomic commit
+
+
+def current_version(table_dir: str) -> int | None:
+    try:
+        with open(_os.path.join(table_dir, "_current")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the current (or a time-travel ``version``) snapshot."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    vdir = _version_dir(table_dir, v)
+    if not _os.path.isdir(vdir):
+        raise FileNotFoundError(f"{table_dir} has no snapshot v{v}")
+    return spark.read.parquet(vdir)
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """The commit log, oldest first (rollbacks appear as 'rollback' ops)."""
+    path = _os.path.join(table_dir, "_snapshots.jsonl")
+    if not _os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [_json.loads(line) for line in f if line.strip()]
+
+
+def rollback_snapshot(table_dir: str, version: int) -> None:
+    """Point the table back at an earlier version (the data never moved)."""
+    if not _os.path.isdir(_version_dir(table_dir, version)):
+        raise FileNotFoundError(f"{table_dir} has no snapshot v{version}")
+    with open(_os.path.join(table_dir, "_snapshots.jsonl"), "a") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "op": "rollback",
+                    "version": version,
+                    "written_at": _time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                    ),
+                },
+                sort_keys=True,
+            )
+            + "\n"
+        )
+    _set_current(table_dir, version)

@@ -96,6 +96,7 @@ def materialize_graph(
     entities: DataFrame,
     out_dir: str,
     partitions: int | None = None,
+    snapshots: bool = False,
 ) -> None:
     """Materialize nodes/edges tables (parquet; Iceberg on clusters with the
     runtime jar — the layout is identical).
@@ -103,9 +104,20 @@ def materialize_graph(
     Edges are repartitioned by ``h`` so downstream out-neighborhood scans
     and self-joins co-locate; at cluster scale this becomes
     ``bucketBy(h)`` / Iceberg partition transform.
+
+    ``snapshots=True``: commit through the versioned snapshot layer
+    (:mod:`sparktax.catalog`) — each materialization is an atomic
+    pointer-swap commit with history and time travel, the north-star
+    "partitioned Iceberg snapshots" semantics on plain parquet.
     """
     e = triples
     if partitions:
         e = e.repartition(partitions, "h")
+    if snapshots:
+        from sparktax.catalog import write_snapshot
+
+        write_snapshot(e, f"{out_dir}/edges", params={"partitions": partitions})
+        write_snapshot(entities, f"{out_dir}/nodes")
+        return
     e.write.mode("overwrite").parquet(f"{out_dir}/edges")
     entities.write.mode("overwrite").parquet(f"{out_dir}/nodes")

@@ -87,6 +87,59 @@ def test_catalog_shim_parquet_fallback(spark, tmp_path):
     assert read_table(spark, target).count() == 40
 
 
+def test_snapshot_table_commits_history_timetravel(spark, tmp_path):
+    """Parquet-fallback snapshot layer: atomic pointer commits, time
+    travel, history, rollback — and old versions stay immutable."""
+    from sparktax.catalog import (
+        current_version,
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_history,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "tbl")
+    v1 = write_snapshot(spark.range(10).withColumnRenamed("id", "h"), d)
+    v2 = write_snapshot(spark.range(25).withColumnRenamed("id", "h"), d, params={"run": 2})
+    assert (v1, v2) == (1, 2)
+    assert current_version(d) == 2
+    assert read_snapshot(spark, d).count() == 25
+    assert read_snapshot(spark, d, version=1).count() == 10  # time travel
+    hist = snapshot_history(d)
+    assert [e["version"] for e in hist] == [1, 2]
+    assert hist[1]["parent"] == 1 and hist[1]["rows"] == 25
+    assert hist[1]["params"] == {"run": 2}
+    rollback_snapshot(d, 1)
+    assert current_version(d) == 1
+    assert read_snapshot(spark, d).count() == 10
+    assert snapshot_history(d)[-1]["op"] == "rollback"
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        read_snapshot(spark, d, version=9)
+    with _pt.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "missing"))
+
+
+def test_materialize_graph_snapshots(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparktax.catalog import read_snapshot, snapshot_history
+    from sparktax.link.canonicalize import materialize_graph
+
+    triples = spark.createDataFrame(
+        pd.DataFrame({"h": [1, 1, 2], "r": [0, 1, 0], "t": [2, 3, 3]})
+    )
+    ents = spark.createDataFrame(pd.DataFrame({"id": [1, 2, 3], "uri": ["a", "b", "c"]}))
+    out = str(tmp_path / "g")
+    materialize_graph(triples, ents, out, partitions=2, snapshots=True)
+    materialize_graph(triples.filter(F.col("h") == 1), ents, out, snapshots=True)
+    assert read_snapshot(spark, f"{out}/edges").count() == 2  # current = v2
+    assert read_snapshot(spark, f"{out}/edges", version=1).count() == 3
+    assert len(snapshot_history(f"{out}/edges")) == 2
+
+
 def test_millify_matches_reference_formula(spark):
     import pandas as pd
     from pyspark.sql import functions as F
