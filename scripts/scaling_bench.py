@@ -153,6 +153,15 @@ def main() -> None:
         for a, b, rs, rb, e in pairs
     )
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    # preserve hand-written addendum sections (## Round …) across rewrites
+    addendum = ""
+    try:
+        existing = open(f"{REPO}/BENCH/BASELINE.md").read()
+        idx = existing.find("\n## Round")
+        if idx != -1:
+            addendum = existing[idx:]
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — two-parallelism scaling evidence
@@ -190,6 +199,7 @@ parallel. Shuffle-bearing stages (dictionary encode, LSH blocking,
 connected components) are AQE-managed and benchmarked per-operator in
 bench.py.
 """
+            + addendum
         )
     print(json.dumps(result))
 

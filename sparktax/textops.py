@@ -285,8 +285,8 @@ def decontaminate(
     Scale shape: the probe set is small by definition (benchmarks), so its
     shingles broadcast; the corpus-side shingling is a narrow explode and
     the match is a broadcast equi-join — the 100 TB corpus is touched once,
-    no shuffle of corpus bytes. ``anti=True`` callers: use
-    :func:`decontaminated` to keep only clean documents.
+    no shuffle of corpus bytes. Use :func:`decontaminated` to keep only
+    the clean documents.
     """
     doc_sh = word_shingles(documents, n, text_col, id_col).withColumnRenamed(
         "id", "doc_id"
