@@ -61,6 +61,45 @@ def read_table(spark: SparkSession, target: str) -> DataFrame:
     return spark.read.table(target)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_by: tuple[str, ...] | str,
+    n_buckets: int = 32,
+    sort_by: tuple[str, ...] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed external table: rows are hash-partitioned on ``bucket_by``
+    AT WRITE TIME, so equi-joins and aggregations on the bucket key read
+    back with ZERO shuffle (both sides of a join pre-partitioned
+    identically — the batch analog of Iceberg's ``bucket(n, col)``
+    partition transform; Spark only honors bucketing through the table
+    catalog, hence ``name`` + external ``path``).
+
+    The KG layout trick for self-joins on different columns (e.g. the
+    2-hop pattern ``edges.t == edges.h``): store two bucketed copies,
+    ``edges_by_h`` and ``edges_by_t`` — each join side then reads its
+    co-located copy and the join plans with no Exchange.
+    """
+    bucket_cols = (bucket_by,) if isinstance(bucket_by, str) else tuple(bucket_by)
+    w = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_by:
+        sort_cols = (sort_by,) if isinstance(sort_by, str) else tuple(sort_by)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Read a bucketed table — bucket metadata only survives through the
+    catalog (``spark.read.parquet(path)`` would forget it)."""
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # snapshot layer — Iceberg commit semantics on the parquet fallback
 # ---------------------------------------------------------------------------

@@ -140,6 +140,53 @@ def test_materialize_graph_snapshots(spark, tmp_path):
     assert len(snapshot_history(f"{out}/edges")) == 2
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located bucketed tables: the 2-hop KG join shape (edges.t ==
+    tail-typed.h) plans with ZERO shuffle exchanges when both sides are
+    bucketed on the join key; the unbucketed plan shuffles both sides."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sparktax.catalog import read_bucketed, write_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.range(20000).select(
+            (F.col("id") % 500).alias("h"), F.lit(5).alias("r"), (F.col("id") % 300).alias("t")
+        )
+        tails = spark.range(300).select(
+            F.col("id").alias("x"), (F.col("id") % 9).alias("cls")
+        )
+        write_bucketed(
+            edges.withColumnRenamed("t", "x"), "edges_by_t",
+            str(tmp_path / "et"), "x", n_buckets=8, sort_by="x",
+        )
+        write_bucketed(tails, "tails_by_x", str(tmp_path / "tx"), "x", n_buckets=8, sort_by="x")
+        j = read_bucketed(spark, "edges_by_t").join(read_bucketed(spark, "tails_by_x"), "x")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+        # same result as the plain join
+        want = edges.withColumnRenamed("t", "x").join(tails, "x").count()
+        assert j.count() == want
+        # the unbucketed twin shuffles
+        edges.write.mode("overwrite").parquet(str(tmp_path / "pe"))
+        tails.write.mode("overwrite").parquet(str(tmp_path / "pt"))
+        j2 = (
+            spark.read.parquet(str(tmp_path / "pe")).withColumnRenamed("t", "x")
+            .join(spark.read.parquet(str(tmp_path / "pt")), "x")
+        )
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", plan2)) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS edges_by_t")
+        spark.sql("DROP TABLE IF EXISTS tails_by_x")
+
+
 def test_millify_matches_reference_formula(spark):
     import pandas as pd
     from pyspark.sql import functions as F
