@@ -448,6 +448,38 @@ def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", F.round("gap_s", 6).alias("gap_s"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (union + window forward-fill, one shuffle — checked
+    against DuckDB's native ASOF JOIN)."""
+    from pyspark.sql import Window
+
+    from sparktax.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    j = asof_join(left, right, on="user_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_right").alias("click_event_id"),
+        F.round("value", 6).alias("click_value"),
+        F.round((us("ts") - us("ts_right")) / 1_000_000.0, 6).alias("gap_s"),
+    )
+
+
 def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O49: contains-scan with deterministic order + limit."""
     p = _t(spark, sf_dir, "part")
@@ -743,6 +775,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "bucketed_agg": q_bucketed_agg,
         "events_lag": q_events_lag,
+        "asof_join": q_asof_join,
         "substring_search": q_substring_search,
         "safe_divide": q_safe_divide,
         "uri_shorten": q_uri_shorten,
@@ -1125,6 +1158,24 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id)) / 1000000.0, 6) AS gap_s
             FROM events
+        """,
+        "asof_join": """
+            WITH r AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'click'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                    ORDER BY event_id DESC) = 1
+            ),
+            l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, l.user_id,
+                   r.event_id AS click_event_id,
+                   round(r.value, 6) AS click_value,
+                   round(epoch_us(l.ts - r.ts) / 1000000.0, 6) AS gap_s
+            FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "substring_search": """
             SELECT p_partkey, p_name FROM part
