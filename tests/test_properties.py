@@ -65,8 +65,10 @@ def test_margin_prob_invariants(n, n_types, seed):
     assert (dP >= -1e-12).all()
     # dP[i,j] ≤ (Σ_c P[c,i]) bounded by column mass over internal nodes
     assert (dP <= P.sum(axis=0)[:, None] + 1e-9).all()
-    # β→∞ softmax is a hard argmax assignment
-    H = softmax_columns(rng.randn(5, 3), beta=1e4)
+    # β→∞ softmax is a hard argmax assignment — needs a guaranteed gap
+    # between column values (randn can tie to within 1/β, e.g. seed 41)
+    M = np.stack([rng.permutation(5) * 0.1 for _ in range(3)], axis=1)
+    H = softmax_columns(M, beta=1e4)
     assert np.allclose(H.max(axis=0), 1.0)
 
 
