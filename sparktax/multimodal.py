@@ -239,10 +239,21 @@ def gen_media_pdf(n: int = 64, seed: int = 42, real_payloads: bool = False) -> p
                 dur if kind != "image" else None,
             )
         )
-    return pd.DataFrame(
+    pdf = pd.DataFrame(
         rows,
         columns=["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"],
     )
+    # Mixed int/None tuples coerce width/height/duration_ms to float64 with
+    # NaN; without Arrow conversion, createDataFrame(pdf, schema=MEDIA) then
+    # rejects 70.0 for IntegerType (and the non-Arrow to_records path also
+    # down-casts pandas nullable Int32 back to float). Object dtype holding
+    # true Python ints/None survives every session config.
+    for col in ("width", "height", "duration_ms"):
+        pdf[col] = pd.Series(
+            [None if pd.isna(v) else int(v) for v in pdf[col]], dtype=object
+        )
+    pdf["media_id"] = pdf["media_id"].astype("int64")
+    return pdf
 
 
 # --------------------------------------------------------------------------

@@ -124,6 +124,35 @@ def test_multimodal_plumbing(spark):
         extract_features(media, decoder="real").collect()
 
 
+def test_media_fixture_builds_without_arrow(spark):
+    """Round-2 driver crash (CORRECTNESS_r02 `media_features`): the harness
+    session has Arrow conversion OFF, so float64-coerced width/height columns
+    failed IntegerType verification. gen_media_pdf must yield object-dtype
+    Python ints/None so createDataFrame works under any session config."""
+    from sparktax.multimodal import MEDIA, gen_media_pdf
+
+    pdf = gen_media_pdf(24, seed=9, real_payloads=True)
+    for col in ("width", "height", "duration_ms"):
+        assert pdf[col].dtype == object
+        assert all(v is None or type(v) is int for v in pdf[col])
+
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        df = spark.createDataFrame(pdf, schema=MEDIA)
+        rows_off = sorted(
+            tuple(r) for r in df.select("media_id", "width", "duration_ms").collect()
+        )
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        df_on = spark.createDataFrame(pdf, schema=MEDIA)
+        rows_on = sorted(
+            tuple(r) for r in df_on.select("media_id", "width", "duration_ms").collect()
+        )
+        assert rows_off == rows_on and len(rows_off) == 24
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
+
+
 def test_multimodal_real_decode(spark):
     """PPM/WAV decode natively (numpy-only): real features end-to-end,
     codec round-trips exact, resize matches the SQL bookkeeping."""
