@@ -12,10 +12,13 @@ engines (float-sum order differences live below that).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
+from pyspark.sql.functions import broadcast, pandas_udf
 
 
 def _dot(a, b):
@@ -33,8 +36,46 @@ def _norm(a):
 
 
 def cosine_similarity_expr(a, b):
+    """Per-row HOF cosine. Catalyst evaluates ``aggregate``/``zip_with``
+    lambdas INTERPRETED (no codegen), so this is kept only for small /
+    expression-context uses — the rerank hot paths go through
+    :func:`pair_cosine` instead (round-2 verdict item #2)."""
     denom = _norm(a) * _norm(b)
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(0.0)
+
+
+def pair_cosine(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    keys: Sequence[str],
+    out: str = "score",
+) -> DataFrame:
+    """Cosine similarity for every (``a_col``, ``b_col``) array pair, keyed
+    by ``keys`` — via ``posexplode(arrays_zip(...))`` + a codegen'd hash
+    aggregate instead of an interpreted ``aggregate(zip_with(...))`` lambda
+    (>50× on wide arrays; same lesson as the SimHash rewrite).
+
+    A pair's exploded rows stay within one map partition in position order,
+    so the partial aggregate reduces them sequentially exactly like the HOF
+    form — 6dp-rounded scores are unchanged — and the extra exchange carries
+    one row per pair. Pairs with empty/null arrays are dropped (a dim-0
+    embedding has no defined cosine)."""
+    x = F.col("_z").getField(a_col).cast("double")
+    y = F.col("_z").getField(b_col).cast("double")
+    ex = pairs.select(
+        *keys, F.posexplode(F.arrays_zip(a_col, b_col)).alias("_p", "_z")
+    )
+    agg = ex.groupBy(*keys).agg(
+        F.sum(x * y).alias("_ab"),
+        F.sum(x * x).alias("_aa"),
+        F.sum(y * y).alias("_bb"),
+    )
+    denom = F.sqrt(F.col("_aa")) * F.sqrt(F.col("_bb"))
+    return agg.select(
+        *keys,
+        F.round(F.when(denom > 0, F.col("_ab") / denom).otherwise(0.0), 6).alias(out),
+    )
 
 
 def cosine_topk(
@@ -56,14 +97,8 @@ def cosine_topk(
     cand = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
-    scored = (
-        cand.join(q, F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity_expr(F.col("_qv"), F.col("_cv")), 6).alias("score"),
-        )
-    )
+    pairs = cand.join(q, F.col("neighbor_id") != F.col("query_id"))
+    scored = pair_cosine(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -80,23 +115,22 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, sig) — sign pattern of ``n_planes`` seeded random projections,
-    packed into a long. Computed as Catalyst expressions over a literal
-    plane matrix (no Python in the path)."""
+    packed into a long. One Arrow-batched vectorized pandas UDF: the whole
+    batch is a single BLAS ``X @ planes.T`` matmul (the round-2 HOF form ran
+    n_planes interpreted dim-wide lambdas per row). Narrow map, no shuffle."""
+    assert 0 < n_planes <= 63, "signature must fit a signed long"
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in planes[p]]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return embeddings.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    weights = np.ascontiguousarray(rng.randn(n_planes, dim).T)  # (dim, planes)
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int64)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(((X @ weights) >= 0) @ pows)
+
+    return embeddings.select(F.col(id_col).alias("id"), _sig(F.col(vec_col)).alias("sig"))
 
 
 def lsh_topk(
@@ -147,15 +181,8 @@ def lsh_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     )
     cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        cand_ids.join(qv, "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity_expr(F.col("_qv"), F.col("_cv")), 6).alias("score"),
-        )
-    )
+    pairs = cand_ids.join(qv, "query_id").join(cv, "neighbor_id")
+    scored = pair_cosine(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -194,21 +221,26 @@ def train_ivf_centroids(
     return C
 
 
-def _cell_scores(vec_col: str, centroids: np.ndarray):
-    """Array of (dot(v, c_j), j) structs — dot with unit-norm centroids
-    ranks cells by cosine."""
-    return F.array(
-        *[
-            F.struct(
-                _dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in centroids[j]]),
-                ).alias("s"),
-                F.lit(j).alias("j"),
-            )
-            for j in range(len(centroids))
-        ]
-    )
+def _top_cells_udf(centroids: np.ndarray, n: int):
+    """Vectorized pandas UDF: the ``n`` highest-dot centroid indices per
+    vector, one BLAS ``X @ C.T`` per Arrow batch (the round-2 form ran
+    n_cells interpreted dim-wide lambdas per row). Ties break toward the
+    higher cell index, matching the old ``array_max``/``array_sort`` order."""
+    W = np.ascontiguousarray(centroids.T.astype(np.float64))  # (dim, cells)
+
+    @pandas_udf("array<int>")
+    def _cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        S = np.stack(v.to_numpy()).astype(np.float64) @ W  # (batch, cells)
+        # stable argsort over the reversed columns: score desc, ties to the
+        # higher original j (the old array_max/array_sort struct order)
+        c = S.shape[1]
+        idx = c - 1 - np.argsort(-S[:, ::-1], axis=1, kind="stable")
+        top = idx[:, :n].astype(np.int32)
+        return pd.Series(list(top))
+
+    return _cells
 
 
 def ivf_assign(
@@ -217,10 +249,13 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cell) — each vector's nearest-centroid cell, pure Catalyst
-    (argmax = array_max over (score, j) structs)."""
-    cell = F.array_max(_cell_scores(vec_col, centroids)).getField("j")
-    return embeddings.select(F.col(id_col).alias("id"), cell.alias("cell"))
+    """(id, cell) — each vector's nearest-centroid cell. A narrow
+    Arrow-batched matmul pass; no shuffle."""
+    cells = _top_cells_udf(centroids, 1)
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.element_at(cells(F.col(vec_col)), 1).alias("cell"),
+    )
 
 
 def ivf_topk(
@@ -252,12 +287,10 @@ def ivf_topk(
     corpus_cells = ivf_assign(embeddings, centroids, id_col, vec_col).withColumnRenamed(
         "id", "neighbor_id"
     )
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(_cell_scores(vec_col, centroids))), 1, n_probe),
-        lambda s: s.getField("j"),
-    )
+    probe_cells = _top_cells_udf(centroids, n_probe)
     query_cells = queries.select(
-        F.col(id_col).alias("query_id"), F.explode(probes).alias("cell")
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     cand_ids = (
         corpus_cells.join(broadcast(query_cells), "cell")
@@ -269,15 +302,8 @@ def ivf_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     )
     cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    scored = (
-        cand_ids.join(qv, "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_similarity_expr(F.col("_qv"), F.col("_cv")), 6).alias("score"),
-        )
-    )
+    pairs = cand_ids.join(qv, "query_id").join(cv, "neighbor_id")
+    scored = pair_cosine(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -307,12 +333,13 @@ def embedding_near_duplicates(
             .select(
                 F.col("x._id").alias("a"),
                 F.col("y._id").alias("b"),
-                F.round(
-                    cosine_similarity_expr(F.col("x._v"), F.col("y._v")), 6
-                ).alias("cosine"),
+                F.col("x._v").alias("_va"),
+                F.col("y._v").alias("_vb"),
             )
         )
-        return pairs.filter(F.col("cosine") >= threshold)
+        return pair_cosine(pairs, "_va", "_vb", ["a", "b"], out="cosine").filter(
+            F.col("cosine") >= threshold
+        )
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     bits = n_planes // n_bands
@@ -343,17 +370,9 @@ def embedding_near_duplicates(
     )
     va = e.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
     vb = e.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
-    return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(cosine_similarity_expr(F.col("_va"), F.col("_vb")), 6).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
+    pairs = cand.join(va, "a").join(vb, "b")
+    return pair_cosine(pairs, "_va", "_vb", ["a", "b"], out="cosine").filter(
+        F.col("cosine") >= threshold
     )
 
 
@@ -378,18 +397,27 @@ def centroid_per_label(
             F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("centroid"),
         )
     )
-    with_c = embeddings.join(means, label_col)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # radius: Σ_rows |x − c|² == Σ over exploded (row, pos) of (val − m)²,
+    # so one codegen'd hash aggregate replaces the per-row interpreted
+    # zip_with/aggregate lambda (round-2 verdict item #2).
+    with_c = embeddings.join(broadcast(means), label_col)
+    diff = F.col("_z").getField(vec_col).cast("double") - F.col("_z").getField(
+        "centroid"
     )
+    stats = (
+        with_c.select(
+            label_col, F.explode(F.arrays_zip(vec_col, "centroid")).alias("_z")
+        )
+        .groupBy(label_col)
+        .agg(F.sum(diff * diff).alias("_ss"))
+    )
+    counts = embeddings.groupBy(label_col).agg(F.count(F.lit(1)).alias("_n"))
     return (
-        with_c.groupBy(label_col, "centroid")
-        .agg(F.sqrt(F.avg(d2)).alias("radius"))
-        .select(label_col, "centroid", "radius")
+        means.join(stats, label_col)
+        .join(counts, label_col)
+        .select(
+            label_col,
+            "centroid",
+            F.sqrt(F.col("_ss") / F.col("_n")).alias("radius"),
+        )
     )

@@ -42,6 +42,32 @@ def test_cosine_topk_vs_numpy(spark, emb):
         np.testing.assert_allclose(rows.score.to_numpy(), [p[1] for p in pairs], atol=2e-6)
 
 
+def test_pair_cosine_matches_hof_expr(spark, emb):
+    """The codegen'd posexplode+groupBy rerank must score identically (at
+    the 6dp contract) to the interpreted zip_with/aggregate expression it
+    replaced on the hot paths."""
+    from sparktax.simsearch import cosine_similarity_expr, pair_cosine
+
+    e = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+    f = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+    pairs = e.join(f, F.col("a") < F.col("b")).limit(2000).cache()
+    got = (
+        pair_cosine(pairs, "_va", "_vb", ["a", "b"], out="c")
+        .toPandas()
+        .sort_values(["a", "b"])
+    )
+    want = (
+        pairs.select(
+            "a", "b", F.round(cosine_similarity_expr("_va", "_vb"), 6).alias("c")
+        )
+        .toPandas()
+        .sort_values(["a", "b"])
+    )
+    assert list(got.a) == list(want.a) and list(got.b) == list(want.b)
+    np.testing.assert_allclose(got.c.to_numpy(), want.c.to_numpy(), atol=1.1e-6)
+    pairs.unpersist()
+
+
 def test_lsh_topk_recall(spark, emb):
     dim = len(emb.select("embedding").first()[0])
     queries = emb.orderBy("vec_id").limit(10)
