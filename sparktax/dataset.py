@@ -87,6 +87,25 @@ def create_from_instances(
     ``instances``: one column ``h``. ``valid_types``: one column ``id``
     (defaults to :meth:`KnowledgeGraph.valid_type_ids`).
     """
+    chosen = choose_instance_types(kg, instances, valid_types, seed)
+    classes_df = classes_from_chosen(chosen, kg.entities)
+    return (
+        dataset_from_chosen(chosen, classes_df),
+        classes_df.select("class_id", "class_name"),
+    )
+
+
+def choose_instance_types(
+    kg: KnowledgeGraph,
+    instances: DataFrame,
+    valid_types: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(h, t) — each instance's single deterministically-random valid type
+    (the expensive half of dataset creation: typed-triples semi-joins + a
+    per-entity window). Split out so a checkpointed pipeline materializes
+    it ONCE and derives both the dataset and the class map from the stored
+    result (round-2 verdict item #4)."""
     if valid_types is None:
         valid_types = kg.valid_type_ids()
     typed = (
@@ -97,23 +116,35 @@ def create_from_instances(
         .distinct()
     )
     w = Window.partitionBy("h").orderBy(F.xxhash64(F.col("t"), F.lit(seed)))
-    chosen = typed.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return (
+        typed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("h", "t")
+    )
 
+
+def classes_from_chosen(chosen: DataFrame, entities: DataFrame) -> DataFrame:
+    """(class_id, class_name, t) — dense class ids over the chosen types,
+    named via the entity dictionary. Cheap relative to ``chosen``."""
     type_ids = chosen.select("t").distinct()
     wt = Window.orderBy("t")
-    classes_df = (
+    return (
         type_ids.select(
             (F.row_number().over(wt) - 1).cast("int").alias("class_id"),
             F.col("t"),
         )
-        .join(broadcast(kg.entities.withColumnRenamed("id", "t")), "t")
+        .join(broadcast(entities.withColumnRenamed("id", "t")), "t")
         .select("class_id", F.col("uri").alias("class_name"), "t")
     )
-    ds = (
-        chosen.join(broadcast(classes_df.select("class_id", "t")), "t")
-        .select(F.col("h").alias("entity_id"), "class_id")
+
+
+def dataset_from_chosen(chosen: DataFrame, classes_df: DataFrame) -> DataFrame:
+    """(sample_id, entity_id, class_id) from the chosen (h, t) pairs and
+    the (class_id, ..., t) class map."""
+    ds = chosen.join(broadcast(classes_df.select("class_id", "t")), "t").select(
+        F.col("h").alias("entity_id"), "class_id"
     )
-    return _attach_sample_ids(ds), classes_df.select("class_id", "class_name")
+    return _attach_sample_ids(ds)
 
 
 def class_counts(dataset: DataFrame) -> DataFrame:

@@ -61,7 +61,9 @@ class ExpressiveParams:
     max_nodes: int = 200
     linkage: str = "ward"
     metric: str = "euclidean"
-    salt_hot_min: int | None = None  # salt 2-hop join keys above this count
+    # "auto": heavy-hitter pre-pass thresholded at the shuffle-partition
+    # target (skew.auto_hot_keys); int pins the count; None opts out.
+    salt_hot_min: int | str | None = "auto"
     salt_buckets: int = 16
 
     @classmethod

@@ -34,17 +34,19 @@ def mine_atoms(
     individuals: bool = True,
     existential: bool = True,
     concepts: bool = True,
-    salt_hot_min: int | None = None,
+    salt_hot_min: int | str | None = "auto",
     salt_buckets: int = 16,
 ) -> DataFrame:
     """sample: (task_id, h). → (task_id, h, atom) long-form candidates.
 
     All three patterns are joins against the triples table. The 2-hop
     existential join is tail-skewed (hub entities: one popular target
-    concentrates the probe side); with ``salt_hot_min`` set, keys above
-    that row count are salted via :func:`sparktax.skew.salted_join`
-    (north_rule: salting beyond AQE) — otherwise AQE's skew split is the
-    only defense.
+    concentrates the probe side). ``salt_hot_min="auto"`` (the default,
+    north_rule: salting beyond AQE) runs a heavy-hitter pre-pass whose
+    threshold derives from the shuffle-partition target
+    (:func:`sparktax.skew.auto_hot_keys`) and salts only when hot keys
+    exist; an int pins the threshold; ``None`` opts out, leaving AQE's
+    skew split as the only defense.
     """
     ts = kg.triples.join(
         sample.select("task_id", "h").distinct(), "h"
@@ -78,15 +80,22 @@ def mine_atoms(
             .select(F.col("h").alias("x"), F.col("t").alias("cls"))
         )
         hops = non_isa.select("task_id", "h", F.col("r"), F.col("t").alias("x"))
-        if salt_hot_min is not None:
-            from sparktax.skew import salted_join
-
-            joined = salted_join(
-                hops, tail_types, "x",
-                hot_min_count=salt_hot_min, buckets=salt_buckets,
-            )
-        else:
+        if salt_hot_min is None:
             joined = hops.join(tail_types, "x")
+        else:
+            from sparktax.skew import auto_hot_keys, salted_join
+
+            if salt_hot_min == "auto":
+                hot = auto_hot_keys(hops, "x")
+            else:
+                from sparktax.skew import top_hot_keys
+
+                hot = top_hot_keys(hops, "x", salt_hot_min)
+            joined = (
+                salted_join(hops, tail_types, "x", hot_keys=hot, buckets=salt_buckets)
+                if hot
+                else hops.join(tail_types, "x")
+            )
         parts.append(
             joined
             .select(

@@ -107,24 +107,36 @@ def run_pipeline(
         )
 
         # seeded dataset creation (transcripts KGs have no dbo: ontology, so
-        # the valid-type set is simply every isa tail)
-        from sparktax.dataset import create_from_instances
+        # the valid-type set is simply every isa tail). The expensive
+        # type-choice pass materializes ONCE; the dataset and class map are
+        # derived from the stored result instead of re-running creation.
+        from sparktax.dataset import (
+            choose_instance_types,
+            classes_from_chosen,
+            dataset_from_chosen,
+        )
 
-        def _ds_pair():
+        def _chosen():
             isa = kg.isa
             typed = kg.triples.filter(F.col("r") == isa)
             instances = typed.select("h").distinct()
             vt = typed.select(F.col("t").alias("id")).distinct()
-            return create_from_instances(kg, instances, valid_types=vt, seed=42)
+            return choose_instance_types(kg, instances, valid_types=vt, seed=42)
 
+        chosen = ck.stage(
+            "50_choice", _chosen, params={"seed": 42}, upstream=["40_edges"]
+        )
+        classes_full = ck.stage(
+            "52_classes",
+            lambda: classes_from_chosen(chosen, nodes),
+            params={"seed": 42}, upstream=["50_choice", "41_nodes"],
+        )
         ds = ck.stage(
-            "51_dataset", lambda: _ds_pair()[0],
-            params={"seed": 42}, upstream=["40_edges"],
+            "51_dataset",
+            lambda: dataset_from_chosen(chosen, classes_full),
+            params={"seed": 42}, upstream=["50_choice", "52_classes"],
         )
-        classes = ck.stage(
-            "52_classes", lambda: _ds_pair()[1],
-            params={"seed": 42}, upstream=["40_edges"],
-        )
+        classes = classes_full.select("class_id", "class_name")
 
         # non-expressive taxonomy (HAC + assignment over the golden pipeline)
         def _nonexpressive():

@@ -34,6 +34,34 @@ def top_hot_keys(df: DataFrame, key: str, min_count: int) -> list:
     return [r[0] for r in rows]
 
 
+def auto_hot_keys(
+    df: DataFrame,
+    key: str,
+    factor: float = 2.0,
+    floor: int = 1000,
+    sample_fraction: float = 1.0,
+) -> list:
+    """Heavy hitters relative to the session's reducer target: a key is hot
+    when its row count exceeds ``factor × (total rows / shuffle partitions)``
+    — i.e. that key alone would overfill one reducer — and at least
+    ``floor`` rows (tiny inputs have no skew worth a pre-pass).
+
+    This is the data-derived default for north_rule's "salting beyond AQE":
+    callers don't hand-tune a count, the threshold tracks the shuffle
+    layout. One map-side-combinable groupBy (over a ``sample_fraction``
+    sample when the exact pre-pass is too expensive — skew detection only
+    needs keys ~factor× above the mean, well inside sampling error)."""
+    src = df if sample_fraction >= 1.0 else df.sample(fraction=sample_fraction, seed=42)
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    counts = src.groupBy(key).agg(F.count("*").alias("_n")).persist()
+    try:
+        total = counts.agg(F.sum("_n")).collect()[0][0] or 0
+        thresh = max(int(factor * total / max(parts, 1)), int(floor * sample_fraction))
+        return [r[0] for r in counts.filter(F.col("_n") > thresh).select(key).collect()]
+    finally:
+        counts.unpersist()
+
+
 def with_salt(
     df: DataFrame, key: str, hot_keys: list, buckets: int = 16, salt_col: str = "_salt"
 ) -> DataFrame:

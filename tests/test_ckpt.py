@@ -68,11 +68,25 @@ def test_state_roundtrip(spark, tmp_path):
     assert ck.load_state("missing", default=42) == 42
 
 
-def test_full_pipeline_and_resume(spark, tmp_path):
+def test_full_pipeline_and_resume(spark, tmp_path, monkeypatch):
     pdf, gold = synth.gen_transcripts_pdf(n_convs=60, seed=9)
     tdf = synth.transcripts_to_spark(spark, pdf)
     workdir = str(tmp_path / "run")
+
+    # the expensive type-choice pass must run exactly once per cold run
+    # (round 2 ran dataset creation twice, once per derived stage)
+    import sparktax.dataset as dsmod
+
+    calls = {"n": 0}
+    real_choose = dsmod.choose_instance_types
+
+    def counting_choose(*a, **kw):
+        calls["n"] += 1
+        return real_choose(*a, **kw)
+
+    monkeypatch.setattr(dsmod, "choose_instance_types", counting_choose)
     summary = run_pipeline(spark, tdf, workdir, taxonomy=True)
+    assert calls["n"] == 1
     assert set(summary) >= {
         "10_raw_triples",
         "20_triples",
@@ -82,6 +96,7 @@ def test_full_pipeline_and_resume(spark, tmp_path):
         "40_edges",
         "41_nodes",
         "50_type_vectors",
+        "50_choice",
         "51_dataset",
         "52_classes",
         "60_taxonomy",

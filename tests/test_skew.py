@@ -133,6 +133,61 @@ def test_mine_atoms_salted_path_matches_unsalted(spark):
     assert "_salt" in salted._jdf.queryExecution().analyzed().toString()
 
 
+def test_auto_hot_keys_threshold_tracks_shuffle_target(spark, skewed):
+    from sparktax.skew import auto_hot_keys
+
+    # 5080 rows / 32 partitions ≈ 159 per reducer; only "hot" (5000) exceeds
+    # max(2×159, 1000)
+    assert auto_hot_keys(skewed, "k") == ["hot"]
+    # uniform data: nothing hot
+    uni = spark.range(4000).select((F.col("id") % 100).alias("k"))
+    assert auto_hot_keys(uni, "k") == []
+    # floor wins on tiny inputs even when one key dominates
+    tiny = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"] * 50 + ["y"] * 2})
+    )
+    assert auto_hot_keys(tiny, "k") == []
+
+
+def test_mine_atoms_salts_by_default_on_hub_kg(spark):
+    """north_rule posture: with no tuning, a hub-entity KG must take the
+    salted 2-hop path (plan contains _salt) and match the unsalted rows."""
+    import pandas as pd_
+
+    from sparktax.graph import KnowledgeGraph
+    from sparktax.induction import mine_atoms
+
+    n = 1200  # hub key count must clear auto_hot_keys' floor of 1000
+    rows = [(i, 5, 500) for i in range(n)]
+    rows += [(i, 5, 600 + i % 5) for i in range(n)]
+    for tgt in [500] + [600 + j for j in range(5)]:
+        rows.append((tgt, 0, 100 if tgt == 500 else 101))
+    triples = spark.createDataFrame(
+        pd_.DataFrame(rows, columns=["h", "r", "t"]).astype("int64")
+    )
+    ents = spark.createDataFrame(
+        pd_.DataFrame(
+            {"id": [100, 101, 500] + [600 + j for j in range(5)],
+             "uri": ["dbo:HubClass", "dbo:ColdClass", "dbr:hub"]
+             + [f"dbr:cold{j}" for j in range(5)]}
+        )
+    )
+    rels = spark.createDataFrame(
+        pd_.DataFrame({"id": [0, 5], "uri": ["rdf:type", "links"]})
+    )
+    kg = KnowledgeGraph(triples, ents, rels)
+    sample = spark.createDataFrame(
+        pd_.DataFrame({"task_id": [0] * n, "h": list(range(n))}).astype("int64")
+    )
+    auto = mine_atoms(kg, sample)  # default: salt_hot_min="auto"
+    assert "_salt" in auto._jdf.queryExecution().analyzed().toString()
+    plain = mine_atoms(kg, sample, salt_hot_min=None)
+    assert "_salt" not in plain._jdf.queryExecution().analyzed().toString()
+    a = set(map(tuple, auto.toPandas().itertuples(index=False)))
+    p = set(map(tuple, plain.toPandas().itertuples(index=False)))
+    assert a == p and any(atom == "E:5.C:100" for _, _, atom in a)
+
+
 def test_salted_broadcast_join(spark, skewed):
     dim = spark.createDataFrame(
         pd.DataFrame({"k": ["hot", "a", "b"], "label": ["H", "A", "B"]})
