@@ -551,6 +551,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=4, n_cells=16, n_probe=4)
 
 
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at ``n_probe == n_cells``: every cell is probed, so the
+    candidate set is the whole corpus and the result must be EXACTLY the
+    brute-force top-k — oracled against the same SQL as ``cosine_topk``
+    (round-2 verdict item #6: make the pytest-proven full-probe exactness
+    visible in the driver's correctness gate)."""
+    from sparktax.simsearch import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return ivf_topk(emb, queries, k=4, n_cells=16, n_probe=16).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
+
+
 def q_uri_shorten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O47/O48: URI prefix shortening + literal normalization."""
     from sparktax.graph.io import normalize_literals, shorten_uri
@@ -789,6 +804,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_full_probe": q_ivf_full_probe,
         "media_features": q_media_features,
         "taxonomy_blobs": q_taxonomy_blobs,
     }
@@ -798,6 +814,25 @@ _NORM = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^\\w\\s]', ' ', 'g'), "
     "'\\s+', ' ', 'g'))"
 )
+
+# Shared by "cosine_topk" (brute force) and "ivf_full_probe" (IVF with every
+# cell probed — exact by construction, so the same oracle applies).
+_COSINE_TOPK_SQL = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               ORDER BY vec_id LIMIT 5),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                   AS score
+        FROM q, embeddings c WHERE c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 4
+"""
 
 
 def _simhash_sql() -> str:
@@ -1094,22 +1129,11 @@ def oracle_sql() -> dict[str, str]:
                               1.0) * 0.3, 6) AS quality
             FROM m
         """,
-        "cosine_topk": """
-            WITH q AS (SELECT vec_id, embedding FROM embeddings
-                       ORDER BY vec_id LIMIT 5),
-            scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       round(list_cosine_similarity(
-                           q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
-                           AS score
-                FROM q, embeddings c WHERE c.vec_id <> q.vec_id
-            )
-            SELECT query_id, neighbor_id, score,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY score DESC, neighbor_id) AS rank
-            FROM scored
-            QUALIFY rank <= 4
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # ivf_topk at n_probe == n_cells probes every cell → candidate set
+        # is the full corpus, so the result must equal brute force exactly:
+        # same oracle as cosine_topk.
+        "ivf_full_probe": _COSINE_TOPK_SQL,
         "embedding_neardup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                        FROM embeddings WHERE vec_id < 150)

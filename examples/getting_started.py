@@ -64,6 +64,18 @@ def main() -> None:
     (direct, closed) = evaluate_full(gold_tree, got)
     print(f"direct P/R/F1 = {direct}\nclosure P/R/F1 = {closed}")
 
+    # inspect it the way every reference notebook does: the balanced
+    # ASCII tree (reference Node.print / libs/tree/pprint.py)
+    from sparktax.tree import Tree
+
+    taxo = Tree.from_edges(sorted(got), add_root="THING")
+    print("\nextracted taxonomy:")
+    taxo.print()
+    # …or as a self-contained HTML page with hover tooltips
+    html_path = tempfile.mktemp(suffix=".html", prefix="taxonomy_")
+    taxo.html(hover=lambda n: f"depth {taxo.depth(n)}", filename=html_path)
+    print(f"(HTML report with hover tooltips written to {html_path})")
+
     # soft mapping variant
     got_soft = extract_taxonomy(
         spark.createDataFrame(dataset),

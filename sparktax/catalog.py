@@ -100,6 +100,39 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def materialize_edge_buckets(
+    spark: SparkSession,
+    edges: DataFrame,
+    dirpath: str,
+    n_buckets: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """The dual-copy KG layout: write ``edges(h, r, t)`` twice, bucketed
+    (and sorted) on ``h`` and on ``t``, under ``dirpath`` — each join side
+    of the 2-hop pattern then reads its co-located copy and the join plans
+    with no Exchange (the batch analog of the reference's ``_h``/``_t``
+    in-memory indexes, libs/graph/knowledge_graph.py:17,42-51).
+
+    Returns ``(by_h, by_t)`` read through the catalog (bucket metadata
+    only survives there). Table names are suffixed with a digest of
+    ``dirpath`` so concurrent pipelines in one session don't collide.
+    Idempotent: a copy whose table and ``_SUCCESS`` marker both exist is
+    reused, so a resumed pipeline run skips the write."""
+    import hashlib
+
+    tag = hashlib.md5(dirpath.encode("utf8")).hexdigest()[:10]
+    out = []
+    for key in ("h", "t"):
+        name = f"sparktax_edges_by_{key}_{tag}"
+        path = _os.path.join(dirpath, f"by_{key}")
+        done = _os.path.exists(_os.path.join(path, "_SUCCESS"))
+        if not (done and spark.catalog.tableExists(name)):
+            write_bucketed(
+                edges, name, path, key, n_buckets=n_buckets, sort_by=key
+            )
+        out.append(read_bucketed(spark, name))
+    return out[0], out[1]
+
+
 # ---------------------------------------------------------------------------
 # snapshot layer — Iceberg commit semantics on the parquet fallback
 # ---------------------------------------------------------------------------

@@ -114,6 +114,9 @@ class KnowledgeGraph:
         self.relations = relations
         self.isa_uri = isa_uri
         self._isa_id: int | None = None
+        # optional co-located copies (see with_colocated)
+        self.triples_by_h: DataFrame | None = None
+        self.triples_by_t: DataFrame | None = None
 
     # -------------------------------------------------- construction
     @classmethod
@@ -126,6 +129,27 @@ class KnowledgeGraph:
         self.entities = self.entities.cache()
         self.relations = self.relations.cache()
         return self
+
+    def with_colocated(
+        self, by_h: DataFrame | None = None, by_t: DataFrame | None = None
+    ) -> "KnowledgeGraph":
+        """Attach bucketed dual copies of the triples table (same rows,
+        hash-bucketed on ``h`` resp. ``t`` at write time — the layout trick
+        of :func:`sparktax.catalog.write_bucketed`). Join-shaped consumers
+        (:func:`sparktax.induction.mine_atoms`'s 2-hop self-join) then read
+        the copy co-located on their join key and plan with zero shuffle
+        Exchanges — the Spark analog of the reference's three in-memory
+        ``_h/_r/_t`` indexes (libs/graph/knowledge_graph.py:17,42-51)."""
+        self.triples_by_h = by_h
+        self.triples_by_t = by_t
+        return self
+
+    def triples_keyed_on(self, key: str) -> DataFrame:
+        """The cheapest copy of the triples table for an equi-join on
+        ``key`` ('h' or 't'): the co-located bucketed copy when attached,
+        else the plain table."""
+        co = self.triples_by_h if key == "h" else self.triples_by_t
+        return co if co is not None else self.triples
 
     # -------------------------------------------------- id/name dispatch
     def entity_id(self, name: str) -> int:

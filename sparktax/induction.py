@@ -47,10 +47,18 @@ def mine_atoms(
     (:func:`sparktax.skew.auto_hot_keys`) and salts only when hot keys
     exist; an int pins the threshold; ``None`` opts out, leaving AQE's
     skew split as the only defense.
+
+    When the graph carries co-located bucketed copies
+    (:meth:`KnowledgeGraph.with_colocated`), the 2-hop join reads the
+    ``t``-bucketed copy on the probe side and the ``h``-bucketed copy on
+    the tail-types side — both sides arrive pre-partitioned on the join
+    key and the join plans with ZERO shuffle Exchanges (the sample tag
+    join is an explicit broadcast, which preserves the scan's bucketing).
     """
-    ts = kg.triples.join(
-        sample.select("task_id", "h").distinct(), "h"
-    )  # out-edges of sampled entities, tagged by task
+    ts = kg.triples_keyed_on("t").join(
+        broadcast(sample.select("task_id", "h").distinct()), "h"
+    )  # out-edges of sampled entities, tagged by task (sample is small →
+    # broadcast, keeping the bucketed scan's output partitioning intact)
     isa = F.col("r") == kg.isa
     valid = broadcast(kg.valid_type_ids().withColumnRenamed("id", "t"))
     parts = []
@@ -75,7 +83,7 @@ def mine_atoms(
                 )
             )
         tail_types = (
-            kg.triples.filter(F.col("r") == kg.isa)
+            kg.triples_keyed_on("h").filter(F.col("r") == kg.isa)
             .join(valid, "t", "left_semi")
             .select(F.col("h").alias("x"), F.col("t").alias("cls"))
         )

@@ -39,6 +39,7 @@ def run_pipeline(
     taxonomy: bool = True,
     encode_method: str = "hash",
     expressive: bool = False,
+    bucket_edges: int | None = None,
 ) -> dict:
     """Run (or resume) the full KG-construction pipeline; returns the
     stage-manifest summary.
@@ -48,7 +49,13 @@ def run_pipeline(
     that need contiguous ids (OpenKE). With ``taxonomy=True`` the run
     continues through seeded dataset creation and non-expressive taxonomy
     extraction; ``expressive=True`` additionally runs the frontier-wave
-    expressive loop, whose state snapshots per wave (kill/resume-safe)."""
+    expressive loop, whose state snapshots per wave (kill/resume-safe).
+
+    ``bucket_edges=N`` materializes the dual bucketed edge copies
+    (``by_h``/``by_t``, N buckets each) after canonicalization and points
+    every downstream 2-hop self-join at them — one extra write, zero
+    shuffle on the hottest join for the rest of the run (and for every
+    later query session over the same workdir)."""
     ck = StageCheckpointer(spark, workdir)
 
     raw = ck.stage(
@@ -97,6 +104,13 @@ def run_pipeline(
 
     if taxonomy:
         kg = KnowledgeGraph(edges, nodes, relations, isa_uri=isa_uri)
+        if bucket_edges:
+            from sparktax.catalog import materialize_edge_buckets
+
+            by_h, by_t = materialize_edge_buckets(
+                spark, edges, f"{workdir}/45_edge_buckets", n_buckets=bucket_edges
+            )
+            kg = kg.with_colocated(by_h, by_t)
         from sparktax.typevec import type_vectors
 
         tv = ck.stage(
@@ -185,6 +199,11 @@ def main() -> None:
     ap.add_argument("--no-taxonomy", action="store_true")
     ap.add_argument("--expressive", action="store_true")
     ap.add_argument("--encode-method", default="hash", choices=["hash", "dense"])
+    ap.add_argument(
+        "--bucket-edges", type=int, default=None,
+        help="materialize dual bucketed edge copies (N buckets) and use "
+        "them for the 2-hop joins",
+    )
     args = ap.parse_args()
     from sparktax.session import get_spark
 
@@ -198,6 +217,7 @@ def main() -> None:
         taxonomy=not args.no_taxonomy,
         encode_method=args.encode_method,
         expressive=args.expressive,
+        bucket_edges=args.bucket_edges,
     )
     print(json.dumps(summary, indent=1))
     spark.stop()

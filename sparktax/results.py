@@ -114,6 +114,34 @@ class ResultDict(defaultdict):
         recs = self.ranked(**filters)
         return recs if n is None or n > len(recs) else recs[:n]
 
+    # ------------------------------------------------------------ display
+    def table_rows(self) -> list[list]:
+        """Step-grouped rows (a ``step N`` banner row, then that step's
+        records) — the layout of the reference's ``_ipython_display_``
+        (results.py:40-46)."""
+        rows: list[list] = []
+        for step in sorted(self):
+            rows.append([f"step {step}"])
+            for rec in self[step]:
+                rows.append([rec.axiom, rec.cov, rec.spe, rec.sco])
+        return rows
+
+    def _repr_html_(self) -> str:
+        from sparktax.display import to_html
+
+        return to_html(self.table_rows(), cols=["axiom", "cov", "spe", "sco"])
+
+    def to_text(self) -> str:
+        from sparktax.display import to_text
+
+        return to_text(self.table_rows(), cols=["axiom", "cov", "spe", "sco"])
+
+    def show(self) -> None:
+        """Terminal/notebook display (reference ``_ipython_display_``)."""
+        from sparktax.display import display_table
+
+        display_table(self.table_rows(), cols=["axiom", "cov", "spe", "sco"])
+
     def pos_only(self, **filters) -> "ResultDict":
         filters["exclude_neg"] = True
         filters["exclude_pos"] = False

@@ -149,6 +149,29 @@ class Tree:
     def leaves(self) -> list:
         return [n for n, cs in self.children.items() if not cs]
 
+    # ------------------------------------------------------------ display
+    def render(self, **kwargs) -> str:
+        """ASCII pretty-print, balanced up/down layout (reference
+        ``Node.print(as_string=True)``, libs/tree/base.py:342-361 →
+        libs/tree/pprint.py). kwargs: start, name, max_depth, halt."""
+        from sparktax.viz import render_tree
+
+        return render_tree(self, **kwargs)
+
+    def print(self, **kwargs) -> None:
+        """Print :meth:`render` (the reference ``Node.print`` default)."""
+        print(self.render(**kwargs))
+
+    def html(self, **kwargs) -> str:
+        """Self-contained HTML rendering with hover tooltips (reference
+        libs/viz/taxonomy.py print_html); see :func:`sparktax.viz.tree_html`."""
+        from sparktax.viz import tree_html
+
+        return tree_html(self, **kwargs)
+
+    def _repr_html_(self) -> str:  # notebook display hook
+        return self.html()
+
 
 # ------------------------------------------------------------------ edge IO
 def write_edge_list(edges: Iterable[tuple], path: str) -> None:

@@ -1,0 +1,120 @@
+"""Tree pretty-print / HTML / DOT rendering + display tables
+(reference libs/tree/pprint.py, libs/viz/taxonomy.py,
+libs/utils/display.py). Pure driver-side — no Spark session needed."""
+
+
+from sparktax.display import display_table, to_html, to_text, wrap
+from sparktax.results import ResultDict
+from sparktax.tree import Tree
+from sparktax.viz import render_tree, tree_dot, tree_html
+
+
+def toy_tree() -> Tree:
+    return Tree.from_edges(
+        [("mammal", "animal"), ("bird", "animal"),
+         ("dog", "mammal"), ("cat", "mammal")]
+    )
+
+
+def test_render_tree_snapshot():
+    """Balanced up/down layout: small subtrees above, large below, root
+    mid-height — the reference print_tree shape (libs/tree/pprint.py)."""
+    want = "\n".join(
+        [
+            "       ┌bird",
+            " animal┤",
+            "       │      ┌cat",
+            "       └mammal┤",
+            "              └dog",
+        ]
+    )
+    assert toy_tree().render() == want
+    assert render_tree(toy_tree()) == want
+
+
+def test_render_tree_every_node_once_and_connected():
+    t = Tree.from_edges(
+        [(f"n{i}", f"n{i // 3}") for i in range(1, 40)]
+    )
+    out = render_tree(t)
+    lines = out.splitlines()
+    assert len(lines) == 40  # one line per node
+    for i in range(40):
+        assert sum(ln.count(f"n{i}") for ln in lines) >= 1
+    # every non-root line carries exactly one start connector
+    starts = sum(ln.count("┌") + ln.count("└") + ln.count("├") for ln in lines)
+    assert starts == 39
+
+
+def test_render_max_depth_and_halt():
+    t = toy_tree()
+    clipped = t.render(max_depth=1)
+    assert "dog" not in clipped and "cat" not in clipped
+    assert "mammal" in clipped and "bird" in clipped
+    halted = t.render(halt=lambda n: n == "mammal")
+    assert halted == clipped
+    # start= renders a subtree only
+    sub = t.render(start="mammal")
+    assert "animal" not in sub and "dog" in sub and "cat" in sub
+
+
+def test_render_custom_name():
+    t = toy_tree()
+    out = t.render(name=lambda n: n.upper())
+    assert "MAMMAL" in out and "mammal" not in out
+
+
+def test_tree_html(tmp_path):
+    t = toy_tree()
+    html = t.html(hover=lambda n: f"size of {n}", filename=str(tmp_path / "t.html"))
+    assert html.count("class='box hovered'") == 5
+    assert "size of mammal" in html
+    assert "<style>" in html and "class='line'" in html
+    assert (tmp_path / "t.html").read_text(encoding="utf8") == html
+    # layout spaces must be non-breaking so columns survive HTML rendering
+    assert "\xa0" in html
+    # markup-free variant + escaping
+    t2 = Tree.from_edges([("<b>", "root")])
+    h2 = tree_html(t2)
+    assert "&lt;b&gt;" in h2 and "<b>" not in h2.split("</style>")[1]
+    assert t._repr_html_() == t.html()
+
+
+def test_tree_dot():
+    dot = tree_dot(toy_tree(), extra=lambda n: {"color": "red"} if n == "dog" else None)
+    assert dot.startswith("digraph taxonomy {") and dot.endswith("}")
+    assert '"animal" -> "mammal";' in dot
+    assert '"mammal" -> "dog";' in dot
+    assert '"dog" [label="dog", color="red"];' in dot
+    assert dot.count("->") == 4
+
+
+def test_display_tables(capsys):
+    rows = [["a", 1.0, 2], ["bb"]]
+    html = to_html(rows, cols=["x", "y", "z"])
+    assert html.startswith("<table>") and html.endswith("</table>")
+    assert "<th>x</th>" in html
+    assert "<td>1.00</td>" in html  # reference formats floats to 2dp
+    assert html.count("<td>") == 6  # ragged row padded to 3 cols
+    txt = to_text(rows, cols=["x", "y", "z"])
+    lines = txt.splitlines()
+    assert lines[0].split() == ["x", "y", "z"]
+    assert lines[2].startswith("a")
+    assert wrap("h1", "Title") == "<h1>Title</h1>"
+    # display_table prints the text form outside IPython... or renders HTML
+    # inside it; either way it must not raise.
+    display_table(rows, cols=["x", "y", "z"])
+    assert capsys.readouterr()  # no exception is the contract
+
+
+def test_resultdict_display():
+    rd = ResultDict.from_records(
+        [
+            {"axiom": "C:1", "cov": 0.5, "spe": 0.25, "sco": 0.4, "step": 0},
+            {"axiom": "E:2.C:3", "cov": 1.0, "spe": 0.5, "sco": 0.8, "step": 1},
+        ]
+    )
+    html = rd._repr_html_()
+    assert "<table>" in html and "E:2.C:3" in html and "step 0" in html
+    txt = rd.to_text()
+    assert "step 1" in txt and "0.80" in txt
