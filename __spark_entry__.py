@@ -516,11 +516,18 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup scale path (rows-only: engine-specific hashes)."""
+    """MinHash/LSH near-dup pipeline, fully DuckDB-oracled: the md5 hasher
+    makes signatures bit-identical across engines (same device as the
+    SimHash oracle), so shingle → 64-perm minhash → 16-band blocking →
+    exact-Jaccard verify is hash-checked end to end. Production default
+    stays ``hasher="xxhash64"`` (faster per shingle, same algorithm)."""
     from sparktax.textops import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return minhash_near_duplicates(docs, threshold=0.5, n=3, k=64, bands=16)
+    pairs = minhash_near_duplicates(
+        docs, threshold=0.5, n=3, k=64, bands=16, hasher="md5"
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,6 +879,71 @@ def _simhash_sql() -> str:
         s AS (SELECT doc_id, ({pack})::BIGINT AS simhash FROM v)
         SELECT d.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
         FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
+def _minhash_sql(
+    threshold: float = 0.5, n: int = 3, k: int = 64, bands: int = 16,
+    seed: int = 42, max_id: int = 500,
+) -> str:
+    """DuckDB replica of sparktax.textops.minhash_near_duplicates with
+    ``hasher="md5"``: base hash = first 15 hex chars of md5(shingle) as a
+    60-bit integer (strpos hex trick) mod p; k permutation mins in one
+    GROUP BY; band buckets are the comma-joined signature slices; exact
+    Jaccard verify on the blocked candidates. Every stage is plain
+    arithmetic, so the pair set and scores match Spark bit-for-bit."""
+    from sparktax.link.minhash import _hash_params
+
+    p = (1 << 31) - 1
+    hex15 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(shingle),{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    mins = ", ".join(
+        f"min((x * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(_hash_params(k, seed))
+    )
+    r = k // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {i} AS band, concat_ws(',', "
+        + ", ".join(f"h{i * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE doc_id < {max_id}),
+        sh AS (
+            SELECT DISTINCT doc_id AS id, substr(t, i, {n}) AS shingle
+            FROM d, LATERAL (SELECT unnest(range(1,
+                 greatest(length(t) - {n - 1}, 1) + 1)) AS i)
+            WHERE length(substr(t, i, {n})) > 0
+        ),
+        hx AS (SELECT id, shingle, ({hex15}) % {p} AS x FROM sh),
+        sig AS (SELECT id, {mins} FROM hx GROUP BY id),
+        buckets AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT x.id AS a, y.id AS b
+            FROM buckets x JOIN buckets y USING (band, bucket)
+            WHERE x.id < y.id
+        ),
+        sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        inter AS (
+            SELECT c.a, c.b, count(*) AS ni
+            FROM cand c
+            JOIN sh sx ON sx.id = c.a
+            JOIN sh sy ON sy.id = c.b AND sy.shingle = sx.shingle
+            GROUP BY 1, 2
+        )
+        SELECT c.a, c.b,
+               round(coalesce(ni, 0) / (sa.n + sb.n - coalesce(ni, 0)), 6)
+                   AS jaccard
+        FROM cand c
+        LEFT JOIN inter USING (a, b)
+        JOIN sizes sa ON sa.id = c.a
+        JOIN sizes sb ON sb.id = c.b
+        WHERE coalesce(ni, 0) / (sa.n + sb.n - coalesce(ni, 0)) >= {threshold}
     """
 
 
@@ -1304,8 +1376,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "simhash": _simhash_sql(),
-        # sample_deterministic, minhash_neardup, lsh_topk, ivf_topk,
-        # taxonomy_blobs: intentionally omitted (non-SQL-expressible /
-        # engine-specific hashing / probabilistic recall) → driver
-        # rows-only check.
+        "minhash_neardup": _minhash_sql(
+            threshold=0.5, n=3, k=64, bands=16, seed=42, max_id=500
+        ),
+        # sample_deterministic, lsh_topk, ivf_topk, taxonomy_blobs,
+        # embedding_neardup_lsh: intentionally omitted (non-SQL-expressible
+        # / engine-specific hashing / probabilistic recall) → driver
+        # rows-only check. (ivf_topk's exactness is oracled separately via
+        # ivf_full_probe; minhash_neardup is fully oracled above via the
+        # md5 hasher.)
     }

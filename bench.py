@@ -40,6 +40,26 @@ HEADLINE = [
 ]
 
 
+def _bench_minhash_neardup(spark, sf_dir):
+    """Production-path twin of the driver query: the correctness-gate
+    version of minhash_neardup runs hasher="md5" so DuckDB can replicate
+    its signatures; the BENCHMARK times the default xxhash64 hasher (the
+    100 TB path) with otherwise identical parameters, keeping r02→r03
+    timings comparable."""
+    from pyspark.sql import functions as F
+
+    from sparktax.textops import minhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return minhash_near_duplicates(docs, threshold=0.5, n=3, k=64, bands=16)
+
+
+# queries benched on a different code path than their correctness-gate twin
+OVERRIDES = {"minhash_neardup": _bench_minhash_neardup}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -56,7 +76,7 @@ def main() -> None:
     times: dict[str, float] = {}
     n_triples = 0
     for name in HEADLINE:
-        fn = qs[name]
+        fn = OVERRIDES.get(name, qs.get(name))
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)

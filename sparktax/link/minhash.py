@@ -60,16 +60,33 @@ def _hash_params(k: int, seed: int) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+def _base_hash(col, hasher: str):
+    """Non-negative base hash of a shingle, mod p.
+
+    ``xxhash64`` (default) is the scale path — one JVM intrinsic per
+    shingle. ``md5`` is the oracle path: the first 15 hex chars of md5
+    read as a 60-bit integer (``conv`` is exact there), which DuckDB can
+    reproduce with the strpos hex trick — same device as the SimHash
+    oracle. Signatures become bit-identical across engines; everything
+    downstream (permutations, banding, verify) is plain arithmetic."""
+    if hasher == "md5":
+        raw = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    else:
+        raw = F.xxhash64(col)
+    return F.pmod(raw, F.lit(_MERSENNE))
+
+
 def minhash_signatures(
-    shingles: DataFrame, k: int = 64, seed: int = 42
+    shingles: DataFrame, k: int = 64, seed: int = 42, hasher: str = "xxhash64"
 ) -> DataFrame:
     """(id, sig: array<long>) — k-permutation MinHash in ONE groupBy.
 
-    xxhash64 gives a signed 64-bit base hash; each permutation is
-    (a·x + b) mod p with p = 2³¹−1 (keeps a·x inside a signed long under
-    Spark 4 ANSI), computed on the non-negative residue.
+    The base hash is signed 64-bit; each permutation is (a·x + b) mod p
+    with p = 2³¹−1 (keeps a·x inside a signed long under Spark 4 ANSI),
+    computed on the non-negative residue. ``hasher`` picks the base hash
+    (see :func:`_base_hash`).
     """
-    x = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE))
+    x = _base_hash(F.col("shingle"), hasher)
     aggs = [
         F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"_h{i}")
         for i, (a, b) in enumerate(_hash_params(k, seed))
@@ -80,23 +97,30 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, hasher: str = "xxhash64") -> DataFrame:
     """(a, b) candidate pairs, a < b, deduplicated across bands.
 
     Rows-per-band r = k / bands; similarity threshold ≈ (1/b)^(1/r).
+    Bucket keys are xxhash64 of the band slice (8-byte shuffle keys) by
+    default; ``hasher="md5"`` joins on the raw comma-joined slice string
+    instead — bigger keys, but engine-portable (the oracle path).
     """
     r_expr = (F.size("sig") / F.lit(bands)).cast("int")
+
+    def _bucket(bidx):
+        sl = F.slice(F.col("sig"), bidx * r_expr + 1, r_expr)
+        if hasher == "md5":
+            return F.array_join(
+                F.transform(sl, lambda v: v.cast("string")), ","
+            ).alias("bucket")
+        return F.xxhash64(bidx, sl).alias("bucket")
+
     buckets = sigs.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.struct(
-                    bidx.alias("band"),
-                    F.xxhash64(
-                        bidx, F.slice(F.col("sig"), bidx * r_expr + 1, r_expr)
-                    ).alias("bucket"),
-                ),
+                lambda bidx: F.struct(bidx.alias("band"), _bucket(bidx)),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -155,12 +179,13 @@ def fuzzy_match_pairs(
     k: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end: shingle → minhash → LSH block → exact-Jaccard verify.
 
     Returns (a, b, jaccard) with jaccard ≥ threshold, a < b.
     """
     sh = shingle(df, text_col, id_col, n=n)
-    sigs = minhash_signatures(sh, k=k, seed=seed)
-    cand = lsh_candidate_pairs(sigs, bands=bands)
+    sigs = minhash_signatures(sh, k=k, seed=seed, hasher=hasher)
+    cand = lsh_candidate_pairs(sigs, bands=bands, hasher=hasher)
     return exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)

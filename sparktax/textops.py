@@ -100,12 +100,15 @@ def minhash_near_duplicates(
     bands: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(a, b, jaccard) — MinHash/LSH-blocked near-dup pairs, exact-verified.
 
     The 100 TB path: signature cost is linear, candidate generation is an
     equi-join on (band, bucket), and only candidates pay the exact-Jaccard
-    verify. Recall is probabilistic (≈1−(1−t^r)^b)."""
+    verify. Recall is probabilistic (≈1−(1−t^r)^b). ``hasher="md5"`` swaps
+    the xxhash64 base hash for an md5-derived one that DuckDB reproduces
+    bit-for-bit (the oracle path — slower per shingle, same algorithm)."""
     return fuzzy_match_pairs(
         documents.select(F.col(id_col).alias("_id"), text_col),
         text_col,
@@ -114,6 +117,7 @@ def minhash_near_duplicates(
         n=n,
         k=k,
         bands=bands,
+        hasher=hasher,
     )
 
 

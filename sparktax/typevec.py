@@ -39,11 +39,14 @@ def cooccurrence_counts(kg: KnowledgeGraph, vocab: DataFrame) -> DataFrame:
     objects (the 2-hop h→x→type pattern, O16)."""
     isa = F.col("r") == kg.isa
     own = kg.triples.filter(isa).select("h", "t")
+    # the h→x→type self-join reads the co-located bucketed copies when the
+    # graph carries them (KnowledgeGraph.with_colocated): probe side keyed
+    # on its t, type side on its h → zero-Exchange SMJ, same as mine_atoms
     hop = (
-        kg.triples.filter(~isa)
+        kg.triples_keyed_on("t").filter(~isa)
         .select("h", F.col("t").alias("x"))
         .join(
-            kg.triples.filter(isa).select(F.col("h").alias("x"), "t"),
+            kg.triples_keyed_on("h").filter(isa).select(F.col("h").alias("x"), "t"),
             "x",
         )
         .select("h", "t")

@@ -82,6 +82,21 @@ def test_mine_atoms_colocated_zero_exchange_join(spark, tmp_path):
         # and the join really reads the bucketed copies
         assert co_plan.count("Bucketed: true") >= 2
         assert "SortMergeJoin" in co_plan
+
+        # the type-vector 2-hop join (typevec.cooccurrence_counts) takes
+        # the same co-located path
+        from sparktax.typevec import cooccurrence_counts, type_vocabulary
+
+        co_kg._isa_id = 0
+        kg._isa_id = 0
+        vocab = type_vocabulary(kg, k=8)
+        tv_co = cooccurrence_counts(co_kg, vocab)
+        tv_plain = cooccurrence_counts(kg, vocab)
+        assert _join_key_exchanges(_plan(tv_co)) == 0
+        assert _join_key_exchanges(_plan(tv_plain)) >= 2
+        a = sorted(map(tuple, tv_co.toPandas().itertuples(index=False)))
+        b = sorted(map(tuple, tv_plain.toPandas().itertuples(index=False)))
+        assert a == b and a
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -79,6 +79,42 @@ def test_minhash_vs_exact_recall(spark, docs):
     assert l <= e  # verify step removes all false positives
 
 
+def test_minhash_md5_hasher_matches_algorithm(spark, docs):
+    """hasher="md5" (the DuckDB-oracle path) runs the same algorithm with a
+    different base hash: same recall contract on planted dups, verified
+    jaccard values identical to the exact path, and signatures match a
+    driver-side numpy replica of the md5 arithmetic."""
+    import hashlib
+
+    from sparktax.link.minhash import _hash_params, minhash_signatures, shingle
+
+    pdf = docs.limit(20).toPandas()[["doc_id", "text"]]
+    dups = pdf.copy()
+    dups["doc_id"] = dups["doc_id"] + 1_000_000
+    dups["text"] = dups["text"] + " x"
+    both = spark.createDataFrame(pd.concat([pdf, dups]))
+    exact = textops.ngram_jaccard_pairs(both, threshold=0.9, n=5)
+    lsh = textops.minhash_near_duplicates(
+        both, threshold=0.9, n=5, k=128, bands=32, hasher="md5"
+    )
+    e = {(r.a, r.b): r.jaccard for r in exact.collect()}
+    l = {(r.a, r.b): r.jaccard for r in lsh.collect()}
+    assert e and len(l.keys() & e.keys()) / len(e) >= 0.95
+    assert set(l) <= set(e)
+    for pair, j in l.items():
+        assert j == pytest.approx(e[pair])
+
+    # signature parity vs a pure-python replica of the md5 base hash
+    p = (1 << 31) - 1
+    df = spark.createDataFrame(pd.DataFrame({"id": [1], "w": ["abcde"]}))
+    sig = minhash_signatures(shingle(df, "w", "id", n=3), k=8, hasher="md5")
+    got = sig.collect()[0].sig
+    grams = {"abc", "bcd", "cde"}
+    xs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % p for g in grams]
+    want = [min((x * a + b) % p for x in xs) for a, b in _hash_params(8, 42)]
+    assert got == want
+
+
 def test_simhash_hamming(spark):
     pdf = pd.DataFrame(
         {
