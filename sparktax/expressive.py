@@ -232,8 +232,11 @@ class ExpressiveExtractor:
         )
         freq = frequent_atoms(atoms, sizes, threshold=p.atom_threshold)
         mat = atom_matrix(atoms, freq)
+        # array_sort: collect_list order is nondeterministic (task arrival),
+        # and the kernel's atom-vocabulary order feeds beam-search
+        # tie-breaks — unsorted lists made kill/resume runs rarely diverge
         per_ent = mat.groupBy("task_id", "h").agg(
-            F.collect_list("atom").alias("atoms")
+            F.array_sort(F.collect_list("atom")).alias("atoms")
         )
         rows = (
             samples.join(
@@ -357,8 +360,15 @@ class ExpressiveExtractor:
                 ],
             )
 
+        # toPandas row order is nondeterministic across runs; the driver
+        # loop appends taxonomy edges and queue entries in row order, so
+        # pin a deterministic one (task, then key)
         return (
-            rows.groupBy("task_id").applyInPandas(kernel, schema=_LABEL_OUT).toPandas()
+            rows.groupBy("task_id")
+            .applyInPandas(kernel, schema=_LABEL_OUT)
+            .toPandas()
+            .sort_values(["task_id", "child_key"], kind="mergesort")
+            .reset_index(drop=True)
         )
 
     # ---------------------------------------------------------- driver loop
