@@ -157,5 +157,7 @@ def class_instances(dataset: DataFrame) -> DataFrame:
     """(class_id, entity_ids) — reference class_instances
     (libs/dataset/dataset.py:105-111)."""
     return dataset.groupBy("class_id").agg(
-        F.collect_set("entity_id").alias("entity_ids")
+        # array_sort: collect_set order is task-arrival-dependent; sorted
+        # arrays make the "set" reproducible across runs
+        F.array_sort(F.collect_set("entity_id")).alias("entity_ids")
     )

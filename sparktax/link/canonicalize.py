@@ -31,12 +31,23 @@ def canonical_entity_map(
     fuzzy: bool = True,
     jaccard_threshold: float = 0.75,
     protect: DataFrame | None = None,
+    fuzzy_max_digit_ratio: float | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """→ (id, canonical_id) for every entity (identity rows included).
 
     ``entities``: (id, uri). ``protect``: optional (id) DataFrame of
     entities excluded from merging (e.g. class/sentinel nodes).
+
+    ``fuzzy_max_digit_ratio``: when set, uris whose digit fraction exceeds
+    it are EXCLUDED from the fuzzy lane (they still exact-merge). ID-like
+    surfaces (``O4070532``…) are the scale hazard for character-shingle
+    LSH: sequential ids share most of their n-grams, so every id collides
+    with its edit-distance siblings and the candidate/verify join swells by
+    orders of magnitude while the threshold rejects every pair anyway —
+    the round-3 e2e probe at 3.5M such uris spent the entire
+    canonicalization budget there. Merging ids by string similarity would
+    also be semantically wrong, so skipping them loses nothing.
     """
     pool = entities
     if protect is not None:
@@ -54,8 +65,14 @@ def canonical_entity_map(
     )
     edges = exact
     if fuzzy:
+        fpool = pool
+        if fuzzy_max_digit_ratio is not None:
+            n_digits = F.length(F.regexp_replace(F.col("uri"), "[^0-9]", ""))
+            fpool = pool.filter(
+                n_digits <= fuzzy_max_digit_ratio * F.length("uri")
+            )
         fz = fuzzy_match_pairs(
-            pool, "uri", "id", threshold=jaccard_threshold, **lsh_kw
+            fpool, "uri", "id", threshold=jaccard_threshold, **lsh_kw
         ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
         edges = exact.unionByName(fz)
 

@@ -75,8 +75,15 @@ def run_pipeline(
 
     mapping = ck.stage(
         "30_canonical_map",
-        lambda: canonical_entity_map(entities, jaccard_threshold=fuzzy_threshold),
-        params={"jaccard": fuzzy_threshold},
+        lambda: canonical_entity_map(
+            entities,
+            jaccard_threshold=fuzzy_threshold,
+            # ID-like (digit-heavy) uris skip the fuzzy lane: string
+            # similarity between sequential ids is meaningless and its LSH
+            # candidates explode (see canonical_entity_map docstring)
+            fuzzy_max_digit_ratio=0.5,
+        ),
+        params={"jaccard": fuzzy_threshold, "max_digit_ratio": 0.5},
         upstream=["21_entities"],
     )
     # edges are laid out by (h, salt-of-t): co-located by head for downstream
@@ -102,6 +109,15 @@ def run_pipeline(
         upstream=["21_entities", "30_canonical_map"],
     )
 
+    if taxonomy and relations.filter(F.col("uri") == isa_uri).limit(1).count() == 0:
+        # no typing statements in the corpus → every taxonomy stage would
+        # KeyError on the isa relation; skip the lane instead of crashing
+        # (the KG stages above are still complete and resumable)
+        print(
+            f"pipeline: relation {isa_uri!r} absent from the extracted graph — "
+            "skipping the taxonomy lane"
+        )
+        taxonomy = False
     if taxonomy:
         kg = KnowledgeGraph(edges, nodes, relations, isa_uri=isa_uri)
         if bucket_edges:

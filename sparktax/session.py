@@ -19,6 +19,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap: in ``local[n]`` the driver JVM hosts every executor
+    thread, so the default sizes to HALF the machine's RAM (capped 8–64 g).
+    The old fixed 8 g OOMed a 32-thread 100M-triple run in the round-3 e2e
+    probe. Override with ``SPARKTAX_DRIVER_MEM``; on a real cluster
+    spark-submit's ``--driver-memory``/``--executor-memory`` govern instead."""
+    env = os.environ.get("SPARKTAX_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+        return f"{max(8, min(64, kb // (1024 * 1024) // 2))}g"
+    except (OSError, StopIteration, ValueError):
+        return "8g"
+
+
 def get_spark(
     app: str = "sparktax",
     cores: int | str | None = None,
@@ -52,7 +69,7 @@ def get_spark(
         # generous broadcast threshold: dims (entities/relations/candidate
         # dictionaries) are small relative to triples at any scale
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARKTAX_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

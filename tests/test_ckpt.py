@@ -117,3 +117,28 @@ def test_full_pipeline_and_resume(spark, tmp_path, monkeypatch):
     # edges partitioned by h: manifest records per-partition lineage
     man = json.load(open(os.path.join(workdir, "40_edges", "_manifest.json")))
     assert sum(man["partitions"].values()) == man["rows"]
+
+
+def test_pipeline_skips_taxonomy_without_isa(spark, tmp_path):
+    """A corpus with no typing statements must complete the KG stages and
+    SKIP the taxonomy lane (round-3 e2e run found a KeyError crash here)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["assistant"] * 3,
+            "text": [
+                "ok so S1 supplies_part P1 .",
+                "then P1 belongs_to O1 .",
+                "and O1 handled_by S1 .",
+            ],
+            "tool": [""] * 3,
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+        }
+    )
+    tdf = synth.transcripts_to_spark(spark, pdf)
+    summary = run_pipeline(spark, tdf, str(tmp_path / "noisa"), taxonomy=True)
+    assert "40_edges" in summary and summary["40_edges"]["rows"] == 3
+    assert "60_taxonomy" not in summary  # lane skipped, not crashed

@@ -183,3 +183,34 @@ def test_canonical_map_and_rewrite(spark):
     rew = rewrite_triples(triples, spark.createDataFrame(mapping)).toPandas()
     got = set(map(tuple, rew.itertuples(index=False)))
     assert got == {(0, 0, 4), (3, 0, 0)}
+
+
+def test_canonical_map_digit_ratio_gate(spark):
+    """ID-like (digit-heavy) uris must skip the fuzzy lane: sequential ids
+    are 1-edit neighbors whose shingle Jaccard clears any threshold, but
+    merging them is wrong and their LSH candidates explode at scale."""
+    ents = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [0, 1, 10, 11],
+                "uri": ["Ada_Lovelace", "Ada_Lovelacee", "O1234567", "O1234568"],
+            }
+        )
+    )
+    # ungated: both the name pair AND the id pair merge (the hazard)
+    m0 = dict(
+        zip(*(lambda p: (p.id, p.canonical_id))(
+            canonical_entity_map(ents, jaccard_threshold=0.6).toPandas()
+        ))
+    )
+    assert m0[1] == 0 and m0[11] == 10
+    # gated: name-like surfaces still fuzzy-merge, ids stay distinct
+    m1 = dict(
+        zip(*(lambda p: (p.id, p.canonical_id))(
+            canonical_entity_map(
+                ents, jaccard_threshold=0.6, fuzzy_max_digit_ratio=0.5
+            ).toPandas()
+        ))
+    )
+    assert m1[1] == 0
+    assert m1[10] == 10 and m1[11] == 11
