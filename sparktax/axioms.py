@@ -114,7 +114,7 @@ class Existential(Axiom):
         return f"E:{self.rel}.T"
 
     def extension(self, kg) -> DataFrame:
-        edges = kg.triples.filter(F.col("r") == self.rel)
+        edges = kg.triples_keyed_on("h").filter(F.col("r") == self.rel)
         if self.tgt is not None:
             return edges.filter(F.col("t") == self.tgt).select("h").distinct()
         if self.cls is None:

@@ -281,8 +281,10 @@ class KnowledgeGraph:
     # -------------------------------------------------- aggregates (O20)
     def class_sizes(self, valid_only: bool = True) -> DataFrame:
         """Instances per class over isa triples (reference
-        get_class_sizes, knowledge_graph.py:128-132)."""
-        df = self.triples.filter(F.col("r") == self.isa)
+        get_class_sizes, knowledge_graph.py:128-132). Groups on ``t``, so
+        the ``t``-bucketed co-located copy (when attached) aggregates with
+        no Exchange."""
+        df = self.triples_keyed_on("t").filter(F.col("r") == self.isa)
         if valid_only:
             df = df.join(
                 broadcast(self.valid_type_ids().withColumnRenamed("id", "t")), "t"
@@ -291,10 +293,13 @@ class KnowledgeGraph:
 
     # -------------------------------------------------- extensions (O17)
     def instances_of_type(self, cls) -> DataFrame:
-        """Extension of concept C: {h | (h, isa, C)}."""
+        """Extension of concept C: {h | (h, isa, C)}. The trailing
+        distinct groups on ``h`` → exchange-free over the h-bucketed
+        co-located copy."""
         cls = self._coerce(cls, "h")
         return (
-            self.triples.filter((F.col("r") == self.isa) & (F.col("t") == cls))
+            self.triples_keyed_on("h")
+            .filter((F.col("r") == self.isa) & (F.col("t") == cls))
             .select("h")
             .distinct()
         )
@@ -302,9 +307,10 @@ class KnowledgeGraph:
     def instances_of_existential(self, rel, cls=None) -> DataFrame:
         """Extension of ∃R.C: heads of R whose tail has type C (C=None → ⊤),
         reference instances_from_atom, libs/sampling/sampler.py:51-76.
-        The tail-side type set is usually small → broadcast semi-join."""
+        The tail-side type set is usually small → broadcast semi-join;
+        the head distinct runs over the h-bucketed copy when attached."""
         rel = self._coerce(rel, "r")
-        edges = self.triples.filter(F.col("r") == rel)
+        edges = self.triples_keyed_on("h").filter(F.col("r") == rel)
         if cls is None:
             return edges.select("h").distinct()
         typed = self.instances_of_type(cls).withColumnRenamed("h", "t")

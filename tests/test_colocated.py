@@ -89,6 +89,16 @@ def test_mine_atoms_colocated_zero_exchange_join(spark, tmp_path):
 
         co_kg._isa_id = 0
         kg._isa_id = 0
+
+        # class_sizes groups on t → zero-exchange aggregate over the
+        # t-bucketed copy
+        cs_co, cs_plain = co_kg.class_sizes(False), kg.class_sizes(False)
+        assert not re.findall(r"Exchange hashpartitioning\(t#", _plan(cs_co))
+        assert re.findall(r"Exchange hashpartitioning\(t#", _plan(cs_plain))
+        a = sorted(map(tuple, cs_co.toPandas().itertuples(index=False)))
+        b = sorted(map(tuple, cs_plain.toPandas().itertuples(index=False)))
+        assert a == b and a
+
         vocab = type_vocabulary(kg, k=8)
         tv_co = cooccurrence_counts(co_kg, vocab)
         tv_plain = cooccurrence_counts(kg, vocab)
