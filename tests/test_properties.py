@@ -159,3 +159,31 @@ def test_axiom_parse_serialize_fixpoint(key):
     ax = parse_axiom(key)
     # key() of the parse is itself parseable and stable
     assert parse_axiom(ax.key()).key() == ax.key()
+
+
+# ---------------------------------------------------------------- rendering
+@given(random_tree())
+@settings(max_examples=60, deadline=None)
+def test_render_tree_properties(edges):
+    """Every node renders exactly once on its own line; connector counts
+    match the edge count; depth clipping drops exactly the deep nodes."""
+    from sparktax.tree import Tree
+    from sparktax.viz import render_tree, tree_dot
+
+    t = Tree.from_edges(edges)
+    lines = render_tree(t).splitlines()
+    nodes = list(t.parent)
+    assert len(lines) == len(nodes)
+    for n in nodes:
+        # the label appears as a whole drawing token exactly once
+        hits = [ln for ln in lines if ln.strip("│ ┌└├┤┐").split("┤")[0].split("┐")[0] == str(n)]
+        assert len(hits) == 1, f"node {n} rendered {len(hits)} times"
+    starts = sum(ln.count("┌") + ln.count("└") + ln.count("├") for ln in lines)
+    assert starts == len(edges)  # one connector per child edge
+
+    clipped = render_tree(t, max_depth=1)
+    want = {n for n in nodes if t.depth(n) <= 1}
+    assert len(clipped.splitlines()) == len(want)
+
+    dot = tree_dot(t)
+    assert dot.count("->") == len(edges)
