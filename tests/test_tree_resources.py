@@ -207,3 +207,21 @@ def test_millify_matches_reference_formula(spark):
         assert got[v] == reference_millify(v), (v, got[v], reference_millify(v))
     assert shorten_path("a/b") == "a/b"
     assert shorten_path("root/" + "x/" * 30 + "leaf", max_len=10) == "root/…/leaf"
+
+
+def test_default_local_dir_and_driver_mem(monkeypatch, tmp_path):
+    """Session scratch + heap defaults: env overrides win; the tmpfs
+    fallback only engages with ≥32 GiB headroom; heap is clamped 8-64g."""
+    import sparktax.session as S
+
+    monkeypatch.setenv("SPARKTAX_LOCAL_DIR", str(tmp_path))
+    assert S._default_local_dir() == str(tmp_path)
+    monkeypatch.delenv("SPARKTAX_LOCAL_DIR")
+    d = S._default_local_dir()
+    assert d is None or d.startswith("/dev/shm")
+
+    monkeypatch.setenv("SPARKTAX_DRIVER_MEM", "3g")
+    assert S._default_driver_mem() == "3g"
+    monkeypatch.delenv("SPARKTAX_DRIVER_MEM")
+    got = S._default_driver_mem()
+    assert got.endswith("g") and 8 <= int(got[:-1]) <= 64
