@@ -52,6 +52,23 @@ class Tree:
                 x = t.parent.get(x)
         return t
 
+    @classmethod
+    def from_df(
+        cls,
+        df,
+        child: str = "child",
+        parent: str = "parent",
+        add_root=None,
+    ) -> "Tree":
+        """Collect a taxonomy edge DataFrame — e.g. the pipeline's
+        ``60_taxonomy`` output or :func:`extract_taxonomy` edges — into a
+        navigable/renderable Tree. Taxonomies are ≤ hundreds of edges, so
+        the collect is bounded by construction."""
+        rows = df.select(child, parent).collect()
+        return cls.from_edges(
+            sorted((r[0], r[1]) for r in rows), add_root=add_root
+        )
+
     def to_edges(self) -> list[tuple]:
         return [(c, p) for c, p in self.parent.items() if p is not None]
 

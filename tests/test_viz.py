@@ -118,3 +118,22 @@ def test_resultdict_display():
     assert "<table>" in html and "E:2.C:3" in html and "step 0" in html
     txt = rd.to_text()
     assert "step 1" in txt and "0.80" in txt
+
+
+def test_tree_from_df(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"child": ["dog", "cat", "mammal"], "parent": ["mammal", "mammal", "animal"]}
+        )
+    )
+    t = Tree.from_df(df)
+    assert t.root == "animal" and set(t.leaves()) == {"dog", "cat"}
+    assert "┌cat" in t.render()
+    # multi-root frames need add_root, same as from_edges
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"child": ["a", "b"], "parent": ["r1", "r2"]})
+    )
+    t2 = Tree.from_df(df2, add_root="TOP")
+    assert t2.root == "TOP" and t2.depth("a") == 2
