@@ -96,6 +96,10 @@ def main() -> None:
     for stage, m in summary.items():
         print(f"  {stage}: rows={m['rows']} bytes={m['bytes']} wall={m['wall_sec']}s")
     print(f"(re-running resumes from {workdir} without recompute)")
+    tax = spark.read.parquet(f"{workdir}/60_taxonomy/data")
+    if tax.count():
+        print("pipeline-extracted taxonomy:")
+        Tree.from_df(tax, add_root="THING").print()
     spark.stop()
 
 
