@@ -12,6 +12,7 @@ all resumable.
 from __future__ import annotations
 
 import sys
+import os
 import tempfile
 
 sys.path.insert(0, ".")
@@ -72,7 +73,8 @@ def main() -> None:
     print("\nextracted taxonomy:")
     taxo.print()
     # …or as a self-contained HTML page with hover tooltips
-    html_path = tempfile.mktemp(suffix=".html", prefix="taxonomy_")
+    fd, html_path = tempfile.mkstemp(suffix=".html", prefix="taxonomy_")
+    os.close(fd)
     taxo.html(hover=lambda n: f"depth {taxo.depth(n)}", filename=html_path)
     print(f"(HTML report with hover tooltips written to {html_path})")
 
@@ -96,10 +98,11 @@ def main() -> None:
     for stage, m in summary.items():
         print(f"  {stage}: rows={m['rows']} bytes={m['bytes']} wall={m['wall_sec']}s")
     print(f"(re-running resumes from {workdir} without recompute)")
-    tax = spark.read.parquet(f"{workdir}/60_taxonomy/data")
-    if tax.count():
-        print("pipeline-extracted taxonomy:")
-        Tree.from_df(tax, add_root="THING").print()
+    if "60_taxonomy" in summary:
+        tax = spark.read.parquet(f"{workdir}/60_taxonomy/data")
+        if tax.count():
+            print("pipeline-extracted taxonomy:")
+            Tree.from_df(tax, add_root="THING").print()
     spark.stop()
 
 

@@ -76,8 +76,7 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
          lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
         ("codegen'd hash aggregate for the dot product (no interpreted "
          "higher-order lambda)",
-         lambda p: "HashAggregate" in p and "aggregate(" not in p.lower()
-         or "zip_with" not in p),
+         lambda p: "HashAggregate" in p and "zip_with" not in p),
     ],
     "minhash_neardup": [
         ("one pre-aggregated signature row per doc through the exchange",

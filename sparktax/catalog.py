@@ -105,6 +105,7 @@ def materialize_edge_buckets(
     edges: DataFrame,
     dirpath: str,
     n_buckets: int = 32,
+    fingerprint: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The dual-copy KG layout: write ``edges(h, r, t)`` twice, bucketed
     (and sorted) on ``h`` and on ``t``, under ``dirpath`` — each join side
@@ -116,20 +117,39 @@ def materialize_edge_buckets(
     only survives there). Table names are suffixed with a digest of
     ``dirpath`` so concurrent pipelines in one session don't collide.
     Idempotent: a copy whose table and ``_SUCCESS`` marker both exist is
-    reused, so a resumed pipeline run skips the write."""
+    reused, so a resumed pipeline run skips the write. Pass
+    ``fingerprint`` (the upstream edges stage's checkpoint fingerprint —
+    ``StageCheckpointer.fingerprint("40_edges")`` in the pipeline) to tie
+    reuse to the edges lineage: if the stored ``_sparktax_fp.json``
+    differs, the copies are rewritten instead of silently serving stale
+    buckets to every downstream 2-hop join."""
     import hashlib
 
     tag = hashlib.md5(dirpath.encode("utf8")).hexdigest()[:10]
+    fp_path = _os.path.join(dirpath, "_sparktax_fp.json")
+    fp_ok = True
+    if fingerprint is not None:
+        try:
+            with open(fp_path) as f:
+                fp_ok = _json.load(f).get("fingerprint") == fingerprint
+        except (OSError, ValueError):
+            fp_ok = False
     out = []
+    wrote = False
     for key in ("h", "t"):
         name = f"sparktax_edges_by_{key}_{tag}"
         path = _os.path.join(dirpath, f"by_{key}")
         done = _os.path.exists(_os.path.join(path, "_SUCCESS"))
-        if not (done and spark.catalog.tableExists(name)):
+        if not (fp_ok and done and spark.catalog.tableExists(name)):
             write_bucketed(
                 edges, name, path, key, n_buckets=n_buckets, sort_by=key
             )
+            wrote = True
         out.append(read_bucketed(spark, name))
+    if fingerprint is not None and (wrote or not fp_ok):
+        _os.makedirs(dirpath, exist_ok=True)
+        with open(fp_path, "w") as f:
+            _json.dump({"fingerprint": fingerprint}, f)
     return out[0], out[1]
 
 

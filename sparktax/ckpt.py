@@ -47,6 +47,12 @@ class StageCheckpointer:
         os.makedirs(base_dir, exist_ok=True)
         self._fps: dict[str, str] = {}
 
+    def fingerprint(self, stage: str) -> str | None:
+        """Lineage fingerprint of a stage computed earlier this run — for
+        tying non-stage artifacts (e.g. the bucketed edge copies) to a
+        stage's upstream lineage."""
+        return self._fps.get(stage)
+
     # ------------------------------------------------------------- paths
     def _dir(self, stage: str) -> str:
         return os.path.join(self.base, stage)

@@ -223,29 +223,41 @@ def write_openke_text_dir(
     split, the reference does not).
 
     The count header makes this format inherently single-file, so it is a
-    driver-side export for interchange at sample scale (``max_rows``
-    guard); the parquet layout (:func:`write_openke_dir`) is the
-    distributed sink.
+    driver-side export for interchange at sample scale; the parquet layout
+    (:func:`write_openke_dir`) is the distributed sink. Every table —
+    triples AND the entity/relation dims — is checked against ``max_rows``
+    before anything touches the driver (a 3.55M-entity dim would otherwise
+    be a silent multi-GB collect), and rows stream through
+    ``toLocalIterator`` so peak driver memory is one partition, not the
+    whole table.
     """
     import os
 
-    n = triples.count()
-    if n > max_rows:
-        raise ValueError(
-            f"{n} triples exceed max_rows={max_rows}; use write_openke_dir "
-            "(parquet) for large graphs — the text format's count header "
-            "forces a single driver-side file"
-        )
+    def _guard(df: DataFrame, what: str) -> int:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"{n} {what} rows exceed max_rows={max_rows}; use "
+                "write_openke_dir (parquet) for large graphs — the text "
+                "format's count header forces a single driver-side file"
+            )
+        return n
+
+    _guard(triples, "triple")
+    n_ent = _guard(entities, "entity")
+    n_rel = _guard(relations, "relation")
     os.makedirs(dirname, exist_ok=True)
 
-    def _write_ids(df: DataFrame, fname: str) -> None:
-        rows = df.select("uri", "id").orderBy("id").collect()
+    def _write_ids(df: DataFrame, fname: str, n: int) -> None:
         with open(os.path.join(dirname, fname), "w", encoding="utf8") as f:
-            f.write(f"{len(rows)}\n")
-            f.writelines(f"{r.uri}\t{r.id}\n" for r in rows)
+            f.write(f"{n}\n")
+            f.writelines(
+                f"{r.uri}\t{r.id}\n"
+                for r in df.select("uri", "id").orderBy("id").toLocalIterator()
+            )
 
-    _write_ids(entities, "entity2id.txt")
-    _write_ids(relations, "relation2id.txt")
+    _write_ids(entities, "entity2id.txt", n_ent)
+    _write_ids(relations, "relation2id.txt", n_rel)
 
     # deterministic split on xxhash64(h, r, t, seed) — same row always
     # lands in the same split regardless of partitioning
@@ -256,16 +268,18 @@ def write_openke_text_dir(
         .when(u < test_split + val_split, F.lit("valid"))
         .otherwise(F.lit("train")),
     )
+    tagged = tagged.localCheckpoint(eager=True)  # split once, reuse 4×
+    split_n = {r["_split"]: r["n"] for r in
+               tagged.groupBy("_split").agg(F.count("*").alias("n")).collect()}
     for split in ("train", "valid", "test"):
-        rows = (
+        part = (
             tagged.filter(F.col("_split") == split)
             .select("h", "t", "r")
             .orderBy("h", "r", "t")
-            .collect()
         )
         with open(os.path.join(dirname, f"{split}2id.txt"), "w", encoding="utf8") as f:
-            f.write(f"{len(rows)}\n")
-            f.writelines(f"{r.h} {r.t} {r.r}\n" for r in rows)
+            f.write(f"{split_n.get(split, 0)}\n")
+            f.writelines(f"{r.h} {r.t} {r.r}\n" for r in part.toLocalIterator())
 
 
 def write_openke_dir(

@@ -124,7 +124,14 @@ def run_pipeline(
             from sparktax.catalog import materialize_edge_buckets
 
             by_h, by_t = materialize_edge_buckets(
-                spark, edges, f"{workdir}/45_edge_buckets", n_buckets=bucket_edges
+                spark,
+                edges,
+                f"{workdir}/45_edge_buckets",
+                n_buckets=bucket_edges,
+                # reuse only while the edges lineage is unchanged — a
+                # re-run with different input recomputes 40_edges and must
+                # not serve stale bucket copies to the 2-hop consumers
+                fingerprint=ck.fingerprint("40_edges"),
             )
             kg = kg.with_colocated(by_h, by_t)
         from sparktax.typevec import type_vectors

@@ -48,12 +48,45 @@ def _default_local_dir() -> str | None:
     try:
         st = os.statvfs("/dev/shm")
         if st.f_bavail * st.f_frsize >= 32 * 2**30:
-            d = "/dev/shm/sparktax-scratch"
+            base = "/dev/shm/sparktax-scratch"
+            _sweep_dead_scratch(base)
+            # per-process subdir: hard-killed sessions leave shuffle files
+            # that would otherwise hold tmpfs RAM until reboot; tagging by
+            # pid lets the next session's sweep reclaim them safely
+            d = os.path.join(base, f"pid-{os.getpid()}")
             os.makedirs(d, exist_ok=True)
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, d, True)
             return d
     except OSError:
         pass
     return None
+
+
+def _sweep_dead_scratch(base: str) -> None:
+    """Reclaim scratch left by dead sessions: ``pid-N`` dirs whose process
+    is gone, and legacy un-tagged ``spark-*``/``blockmgr-*`` dirs (written
+    by pre-round-4 sessions directly under ``base``)."""
+    import shutil
+
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        path = os.path.join(base, name)
+        dead = name.startswith(("spark-", "blockmgr-"))
+        if name.startswith("pid-"):
+            try:
+                os.kill(int(name[4:]), 0)
+            except (ValueError, ProcessLookupError):
+                dead = True
+            except PermissionError:
+                pass  # alive, owned elsewhere
+        if dead:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def get_spark(

@@ -148,6 +148,10 @@ def tree_html(
     # so the monospace columns survive HTML whitespace collapsing.
     _render(tree, start, name, "", "updown", max_depth, halt, lines, sizes,
             " ", "│", decorate)
+    # the root's start shape (_START["updown"]) is a regular space; HTML
+    # whitespace collapsing would trim it and shift the root one column
+    # left of its children's connector column — substitute U+00A0
+    lines = [" " + ln[1:] if ln.startswith(" ") else ln for ln in lines]
     body = "\n".join(f"<div class='line'>{ln}</div>" for ln in lines)
     out = f"{_TREE_CSS}\n<div class='sparktax-tree'>\n{body}\n</div>"
     if filename is not None:
@@ -180,3 +184,106 @@ def tree_dot(
         lines.append(f'  "{esc(parent)}" -> "{esc(child)}";')
     lines.append("}")
     return "\n".join(lines)
+
+
+# ------------------------------------------------------- coordinate layout
+
+
+def tree_coords(
+    tree: Tree,
+    start=None,
+    step_x: float = 1.0,
+    step_y: float = -0.2,
+    max_depth: int | None = None,
+    max_width: int | None = None,
+) -> tuple[dict, list]:
+    """Dendrogram coordinate layout — the reference's ``get_coords``
+    algorithm (libs/viz/nary_tree.py:30-67) emitted as plain data so any
+    frontend (matplotlib, plotly, the HTML report, :func:`tree_svg`) can
+    draw the tree without a plotting dependency in this container.
+
+    Each node at depth ``d`` owns a horizontal slot of width
+    ``step_x / 2**d``; a leaf sits at the center of its slot, an internal
+    node at the center of its children's combined span. Returns
+    ``({node: (x, y)}, edges)`` where each edge is the matplotlib-style
+    pair ``((x_parent, x_child), (y_parent, y_child))``.
+    """
+    start = tree.root if start is None else start
+    lim = float("inf") if max_depth is None else max_depth
+    coords: dict = {}
+    edges: list = []
+
+    def rec(node, depth: float, offset: float):
+        dx = step_x / 2**depth
+        y = depth * step_y
+        kids = tree.children.get(node, [])[:max_width]
+        if not kids or depth >= lim:
+            mi, ma = offset, offset + dx
+            x = offset + dx / 2
+        else:
+            mi = offset
+            ma = offset
+            child_coords = []
+            for child in kids:
+                xc, yc, ma = rec(child, depth + 1, ma)
+                child_coords.append((xc, yc))
+            x = (ma + mi) / 2
+            edges.extend(((x, xb), (y, yb)) for xb, yb in child_coords)
+        coords[node] = (x, y)
+        return x, y, ma
+
+    rec(start, float(tree.depth(start)), 0.0)
+    return coords, edges
+
+
+def tree_svg(
+    tree: Tree,
+    name: Callable | None = None,
+    width: int = 800,
+    height: int | None = None,
+    filename: str | None = None,
+    **layout_kwargs,
+) -> str:
+    """Standalone SVG dendrogram built on :func:`tree_coords` (the
+    container has no matplotlib; reference plot_tree →
+    libs/viz/nary_tree.py:70-105). Returns the SVG string."""
+    name = name or str
+    coords, edges = tree_coords(tree, **layout_kwargs)
+    xs = [x for x, _ in coords.values()]
+    ys = [y for _, y in coords.values()]
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    depth_span = max(1, round(abs(y1 - y0) / 0.2))
+    if height is None:
+        height = 80 * (depth_span + 1)
+    pad = 40
+    sx = (width - 2 * pad) / (x1 - x0 or 1.0)
+    sy = (height - 2 * pad) / (y0 - y1 or 1.0)  # y grows downward in SVG
+
+    def px(x: float) -> float:
+        return round(pad + (x - x0) * sx, 2)
+
+    def py(y: float) -> float:
+        return round(pad + (y0 - y) * sy, 2)
+
+    parts = [
+        f"<svg xmlns='http://www.w3.org/2000/svg' width='{width}' "
+        f"height='{height}' font-family='monospace' font-size='12'>"
+    ]
+    for (xa, xb), (ya, yb) in edges:
+        parts.append(
+            f"<line x1='{px(xa)}' y1='{py(ya)}' x2='{px(xb)}' y2='{py(yb)}' "
+            "stroke='#888' stroke-opacity='0.5'/>"
+        )
+    for node, (x, y) in coords.items():
+        label = _html.escape(str(name(node)))
+        parts.append(f"<circle cx='{px(x)}' cy='{py(y)}' r='3' fill='#333'/>")
+        parts.append(
+            f"<text x='{px(x) + 5}' y='{py(y) - 5}'>{label}</text>"
+        )
+    parts.append("</svg>")
+    out = "\n".join(parts)
+    if filename is not None:
+        with open(filename, "w", encoding="utf8") as f:
+            f.write(out)
+    return out

@@ -152,3 +152,28 @@ def test_pipeline_bucket_edges_flag(spark, tmp_path):
     for t in spark.catalog.listTables():
         if t.name.startswith("sparktax_edges_by_"):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_materialize_edge_buckets_fingerprint_invalidation(spark, tmp_path):
+    """Changed upstream lineage must rewrite the bucket copies — reuse is
+    tied to the edges stage fingerprint, not just _SUCCESS existence."""
+    d = str(tmp_path / "ebfp")
+    df1 = spark.range(50).select(
+        F.col("id").alias("h"), F.lit(1).alias("r"), (F.col("id") % 5).alias("t")
+    )
+    by_h, _ = materialize_edge_buckets(spark, df1, d, n_buckets=4, fingerprint="fp1")
+    assert by_h.count() == 50
+    marker = os.path.join(d, "by_h", "_SUCCESS")
+    stamp = os.path.getmtime(marker)
+    # same fingerprint → reuse
+    by_h2, _ = materialize_edge_buckets(spark, df1, d, n_buckets=4, fingerprint="fp1")
+    assert os.path.getmtime(marker) == stamp and by_h2.count() == 50
+    # new fingerprint (upstream changed) → rewrite with the new data
+    df2 = spark.range(80).select(
+        F.col("id").alias("h"), F.lit(1).alias("r"), (F.col("id") % 5).alias("t")
+    )
+    by_h3, _ = materialize_edge_buckets(spark, df2, d, n_buckets=4, fingerprint="fp2")
+    assert by_h3.count() == 80
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sparktax_edges_by_"):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")

@@ -141,3 +141,21 @@ def test_unknown_names_ignored(spark, openke_dir):
         exclude_entities={"dbr:ghost"}, exclude_relations={"nope"},
     )
     assert len(_rows(t)) == 10
+
+
+def test_text_writer_guards_dims(spark, tmp_path):
+    """The driver-collect guard covers the entity/relation dims too — a
+    multi-million-row dim must raise, not silently collect (round-3
+    verdict: the 3.55M-entity graph case)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparktax.graph.io import write_openke_text_dir
+
+    t = spark.createDataFrame([(0, 0, 1)], "h long, r long, t long")
+    big_e = spark.range(10).select(
+        F.concat(F.lit("e"), "id").alias("uri"), F.col("id").alias("id")
+    )
+    r = spark.createDataFrame([("rel", 0)], "uri string, id long")
+    with pytest.raises(ValueError, match="entity"):
+        write_openke_text_dir(t, big_e, r, str(tmp_path / "g"), max_rows=5)

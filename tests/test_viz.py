@@ -3,6 +3,8 @@
 libs/utils/display.py). Pure driver-side — no Spark session needed."""
 
 
+import pytest
+
 from sparktax.display import display_table, to_html, to_text, wrap
 from sparktax.results import ResultDict
 from sparktax.tree import Tree
@@ -137,3 +139,68 @@ def test_tree_from_df(spark):
     )
     t2 = Tree.from_df(df2, add_root="TOP")
     assert t2.root == "TOP" and t2.depth("a") == 2
+
+
+def _ref_example_tree():
+    """The reference docstring example (libs/viz/nary_tree.py:7-13)."""
+    from sparktax.tree import Tree
+
+    t = Tree("a")
+    for c in "bcd":
+        t.attach(c, "a")
+    for c in "efg":
+        t.attach(c, "b")
+    t.attach("h", "c")
+    for c in "ij":
+        t.attach(c, "e")
+    return t
+
+
+def test_tree_coords_reference_example():
+    """Exact layout parity with reference get_coords
+    (libs/viz/nary_tree.py:30-67) on its own docstring tree, values
+    hand-traced through the reference recursion."""
+    from sparktax.viz import tree_coords
+
+    coords, edges = tree_coords(_ref_example_tree())
+    expected = {
+        "a": (0.75, 0.0), "b": (0.375, -0.2), "c": (0.875, -0.2),
+        "d": (1.25, -0.2), "e": (0.125, -0.4), "f": (0.375, -0.4),
+        "g": (0.625, -0.4), "h": (0.875, -0.4), "i": (0.0625, -0.6),
+        "j": (0.1875, -0.6),
+    }
+    assert set(coords) == set(expected)
+    for k, (x, y) in expected.items():
+        assert coords[k] == pytest.approx((x, y))
+    # one edge per non-root node; each parent centered on its span
+    assert len(edges) == len(coords) - 1
+    # max_depth clips: depth-1 nodes become leaves, nothing deeper emitted
+    clipped, cedges = tree_coords(_ref_example_tree(), max_depth=1)
+    assert set(clipped) == set("abcd")
+    assert len(cedges) == 3
+
+
+def test_tree_svg(tmp_path):
+    from sparktax.viz import tree_svg
+
+    path = tmp_path / "t.svg"
+    svg = tree_svg(_ref_example_tree(), filename=str(path))
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("<circle") == 10 and svg.count("<line") == 9
+    assert path.read_text() == svg
+
+
+def test_tree_html_root_column_nbsp():
+    """The root line must not start with a plain space (HTML collapsing
+    would shift the root left of its children's connector column)."""
+    from sparktax.tree import Tree
+    from sparktax.viz import tree_html
+
+    t = Tree("r")
+    for c in "ab":
+        t.attach(c, "r")
+    html = tree_html(t)
+    for line in html.splitlines():
+        if "class='line'" in line:
+            content = line.split(">", 1)[1]
+            assert not content.startswith(" ")  # plain space banned
