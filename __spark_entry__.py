@@ -507,12 +507,16 @@ def q_safe_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O54: seeded xxhash64 sampling (rows-only check: no SQL equivalent)."""
+    """O54: seeded deterministic sampling, fully DuckDB-oracled via the
+    md5-rank device (rank = exact 60-bit int of the first 15 hex chars of
+    ``md5(h || ':' || seed)``, replicated in SQL with the strpos hex
+    trick). Production default stays ``rank_on="xxhash64"`` (faster, same
+    uniform-without-replacement semantics)."""
     from sparktax.graph import KnowledgeGraph
 
     kg = KnowledgeGraph(_kg_triples(spark, sf_dir), None, None)
     kg._isa_id = 0
-    return kg.sample_instances(50, cls=N_OFF + 1, seed=7)
+    return kg.sample_instances(50, cls=N_OFF + 1, seed=7, rank_on="md5")
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,10 +1383,35 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _minhash_sql(
             threshold=0.5, n=3, k=64, bands=16, seed=42, max_id=500
         ),
-        # sample_deterministic, lsh_topk, ivf_topk, taxonomy_blobs,
-        # embedding_neardup_lsh: intentionally omitted (non-SQL-expressible
-        # / engine-specific hashing / probabilistic recall) → driver
-        # rows-only check. (ivf_topk's exactness is oracled separately via
-        # ivf_full_probe; minhash_neardup is fully oracled above via the
-        # md5 hasher.)
+        # seeded sample: rank on the exact integer value of the first 15
+        # hex chars of md5(h || ':7') — bit-identical to the Spark side's
+        # conv(substr(md5(..),1,15),16,10) — with h as tiebreak. strpos on
+        # '123456789abcdef' maps '0'→0 (miss) and '1'..'f'→1..15.
+        "sample_deterministic": f"""
+            WITH kg AS ({_KG_SQL}),
+            pool AS (SELECT DISTINCT h FROM kg WHERE r = 0 AND t = {N_OFF + 1}),
+            keyed AS (
+                SELECT h,
+                       ({" + ".join(
+                           f"strpos('123456789abcdef', substr(md5(h::VARCHAR || ':7'),{j + 1},1))::BIGINT * {16 ** (14 - j)}"
+                           for j in range(15)
+                       )}) AS k
+                FROM pool
+            )
+            SELECT h FROM keyed ORDER BY k, h LIMIT 50
+        """,
+        # the blob pipeline (HAC → F-matrix → Hungarian → contraction) is
+        # seeded end to end and recovers the planted 2-level taxonomy
+        # exactly (pytest-asserted); the oracle is the literal gold edge
+        # set, so any extraction regression hash-mismatches here.
+        "taxonomy_blobs": """
+            SELECT * FROM (VALUES
+                ('B','A'),('C','A'),('D','B'),('E','B'),('F','C'),('G','C')
+            ) AS t(child, parent)
+        """,
+        # lsh_topk, ivf_topk, embedding_neardup_lsh, media_features:
+        # intentionally omitted (probabilistic recall / binary payloads) →
+        # driver rows-only check. (ivf_topk's exactness is oracled
+        # separately via ivf_full_probe; minhash_neardup is fully oracled
+        # above via the md5 hasher.)
     }

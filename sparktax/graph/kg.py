@@ -323,11 +323,18 @@ class KnowledgeGraph:
         cls=None,
         exclude: DataFrame | None = None,
         seed: int = 42,
+        rank_on: str = "xxhash64",
     ) -> DataFrame:
         """Deterministic uniform-without-replacement sample of entity ids:
-        order by ``xxhash64(id, seed)`` + limit. Reference uses unseeded
+        order by a seeded hash of the id + limit. Reference uses unseeded
         ``random.sample`` (knowledge_graph.py:357-374) — we seed for
-        reproducibility (SURVEY §2.12)."""
+        reproducibility (SURVEY §2.12).
+
+        ``rank_on="xxhash64"`` (default) is the fast JVM path;
+        ``rank_on="md5"`` ranks on the exact 60-bit integer value of the
+        first 15 hex chars of ``md5(id || ':' || seed)`` — same sample
+        quality, but replicable outside Spark (DuckDB etc. lack xxhash64;
+        the driver correctness gate uses this mode)."""
         pool = (
             self.instances_of_type(cls)
             if cls is not None
@@ -335,8 +342,18 @@ class KnowledgeGraph:
         )
         if exclude is not None:
             pool = pool.join(exclude, "h", "left_anti")
-        return (
-            pool.orderBy(F.xxhash64(F.col("h"), F.lit(seed)))
-            .limit(n)
-            .select("h")
-        )
+        if rank_on == "md5":
+            key = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("h").cast("string"), F.lit(seed))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        elif rank_on == "xxhash64":
+            key = F.xxhash64(F.col("h"), F.lit(seed))
+        else:
+            raise ValueError(f"rank_on must be 'xxhash64' or 'md5', got {rank_on!r}")
+        return pool.orderBy(key, F.col("h")).limit(n).select("h")
