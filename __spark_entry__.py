@@ -352,6 +352,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-token / top-bigram share and
+    duplicate-sentence fraction (boilerplate detectors for LM training
+    corpora)."""
+    from sparktax.textops import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-4 cosine neighbors of the first 5 vectors."""
     from sparktax.simsearch import cosine_topk
@@ -792,6 +801,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
+        "repetition": q_repetition,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1204,6 +1214,62 @@ def oracle_sql() -> dict[str, str]:
                               THEN stop_hits / n_tokens ELSE 0 END * 5,
                               1.0) * 0.3, 6) AS quality
             FROM m
+        """,
+        # Gopher repetition filters: token positions via the LATERAL
+        # range-unnest idiom; bigrams via the same lead() window as Spark
+        "repetition": """
+            WITH base AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents
+            ),
+            lists AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(t, '\\s+'),
+                                   x -> x <> '') AS l
+                FROM base
+            ),
+            tok AS (
+                SELECT doc_id, i, l[i] AS tok
+                FROM lists, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+            ),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+            ts AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                       round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac
+                FROM tc GROUP BY doc_id
+            ),
+            big AS (
+                SELECT doc_id, tok,
+                       lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+                FROM tok
+            ),
+            bc AS (
+                SELECT doc_id, tok, nxt, count(*) AS c FROM big
+                WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
+            ),
+            bs AS (
+                SELECT doc_id,
+                       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac
+                FROM bc GROUP BY doc_id
+            ),
+            sents AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split_regex(t, '[.!?]'), s -> trim(s)),
+                           s -> s <> '') AS sl
+                FROM base
+            )
+            SELECT b.doc_id,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(top_token_frac, 0.0) AS top_token_frac,
+                   coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+                   CASE WHEN len(sl) > 0
+                        THEN round(1.0 - len(list_distinct(sl))::DOUBLE
+                                   / len(sl), 6)
+                        ELSE 0.0 END AS dup_sentence_frac
+            FROM base b
+            JOIN sents USING (doc_id)
+            LEFT JOIN ts USING (doc_id)
+            LEFT JOIN bs USING (doc_id)
         """,
         "cosine_topk": _COSINE_TOPK_SQL,
         # ivf_topk at n_probe == n_cells probes every cell → candidate set

@@ -138,12 +138,33 @@ def classes_from_chosen(chosen: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
-def dataset_from_chosen(chosen: DataFrame, classes_df: DataFrame) -> DataFrame:
+def dataset_from_chosen(
+    chosen: DataFrame,
+    classes_df: DataFrame,
+    per_class: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
     """(sample_id, entity_id, class_id) from the chosen (h, t) pairs and
-    the (class_id, ..., t) class map."""
+    the (class_id, ..., t) class map.
+
+    ``per_class`` caps each class to a seeded uniform sample (window rank
+    on ``xxhash64(h, seed)``). The downstream single-task HAC is O(n²)
+    memory in the dataset size — an uncapped corpus that types millions
+    of entities would ask for a ~200 GiB distance matrix (observed on the
+    100M-triple probe), while the reference's own design is
+    sample-bounded (P10). ``None`` keeps every typed instance."""
     ds = chosen.join(broadcast(classes_df.select("class_id", "t")), "t").select(
         F.col("h").alias("entity_id"), "class_id"
     )
+    if per_class is not None:
+        w = Window.partitionBy("class_id").orderBy(
+            F.xxhash64(F.col("entity_id"), F.lit(seed)), F.col("entity_id")
+        )
+        ds = (
+            ds.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= per_class)
+            .drop("_rk")
+        )
     return _attach_sample_ids(ds)
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import time as _time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -177,6 +179,12 @@ class ExpressiveExtractor:
         self.p = params or ExpressiveParams()
         self.threshold = self.p.threshold_initial
         self.concepts_only = False
+        # scale evidence: run() appends one dict per wave (wave, frontier,
+        # sample_rows, found, wall_sec, threshold[, atom_rows when
+        # .instrument]) — consumed by scripts/e2e_pipeline_scale.py
+        self.wave_log: list[dict] = []
+        self.instrument = False
+        self._last_atom_rows: int | None = None
 
     # ---------------------------------------------------------- sampling
     def _sample_tasks(self, axioms: list[str]) -> tuple[DataFrame, dict[int, str]]:
@@ -232,6 +240,8 @@ class ExpressiveExtractor:
         )
         freq = frequent_atoms(atoms, sizes, threshold=p.atom_threshold)
         mat = atom_matrix(atoms, freq)
+        if self.instrument:  # extra job; scale probes only
+            self._last_atom_rows = mat.count()
         # array_sort: collect_list order is nondeterministic (task arrival),
         # and the kernel's atom-vocabulary order feeds beam-search
         # tie-breaks — unsorted lists made kill/resume runs rarely diverge
@@ -413,6 +423,8 @@ class ExpressiveExtractor:
                 frontier.append(key)
             if not frontier:
                 break
+            _t0 = _time.perf_counter()
+            _edges_before = len(st.taxonomy)
             samples, task_of = self._sample_tasks(frontier)
             sizes = {
                 int(r.task_id): int(r.n)
@@ -422,6 +434,15 @@ class ExpressiveExtractor:
             }
             labels = self._label_wave(samples)
             st.waves += 1
+            wave_stat = {
+                "wave": st.waves,
+                "frontier": len(frontier),
+                "sample_rows": sum(sizes.values()),
+                "wall_sec": round(_time.perf_counter() - _t0, 3),
+                "threshold": st.threshold,
+            }
+            if self.instrument and self._last_atom_rows is not None:
+                wave_stat["atom_rows"] = self._last_atom_rows
             # MIN_SIZE stop: too few instances to cluster → search is done
             # for that class (reference end_search_for, extractor.py:226-230)
             for tid, start_key in task_of.items():
@@ -467,6 +488,11 @@ class ExpressiveExtractor:
                     # switch to named classes only (reference :92-96)
                     st.concepts_only = self.concepts_only = True
                 extracted = {c for c, _ in st.taxonomy if not c.startswith("REM(")}
+                # the root is always an extracted class (reference
+                # short_names = {root: root}, extractor.py:173), so a dry
+                # first pass re-searches ⊤ at the relaxed threshold
+                # instead of terminating with an empty taxonomy
+                extracted.add(Top().key())
                 st.processed.clear()
                 st.queue = [
                     Remainder(
@@ -475,6 +501,9 @@ class ExpressiveExtractor:
                     ).key()
                     for k in sorted(extracted - st.done)
                 ]
+            wave_stat["found"] = len(st.taxonomy) - _edges_before
+            wave_stat["wall_sec"] = round(_time.perf_counter() - _t0, 3)
+            self.wave_log.append(wave_stat)
             if ckpt is not None:
                 ckpt.save_state(state_name, st.to_json())
         return st.taxonomy

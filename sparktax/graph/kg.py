@@ -117,6 +117,8 @@ class KnowledgeGraph:
         # optional co-located copies (see with_colocated)
         self.triples_by_h: DataFrame | None = None
         self.triples_by_t: DataFrame | None = None
+        # optional valid-class override (see with_valid_types)
+        self._valid_type_ids: DataFrame | None = None
 
     # -------------------------------------------------- construction
     @classmethod
@@ -270,10 +272,32 @@ class KnowledgeGraph:
             self.isa_uri,
         )
 
+    def with_valid_types(self, ids: DataFrame | None = None) -> "KnowledgeGraph":
+        """Override the valid-class set used by :meth:`valid_type_ids`.
+
+        The default predicate is the reference's DBpedia ontology filter
+        (``dbo:`` uris) — EMPTY on transcript-extracted KGs, which would
+        silently drop every concept atom in :func:`mine_atoms` and the
+        expressive loop (observed at 100M scale: 7 waves, zero atoms).
+        ``ids``: (id) DataFrame; ``None`` → every distinct ``isa`` tail,
+        the same convention the pipeline's dataset stage uses."""
+        if ids is None:
+            ids = (
+                self.triples_keyed_on("t")
+                .filter(F.col("r") == self.isa)
+                .select(F.col("t").alias("id"))
+                .distinct()
+            )
+        self._valid_type_ids = ids
+        return self
+
     def valid_type_ids(self) -> DataFrame:
         """Entity ids whose uri is a valid class name: startswith('dbo:') and
         no ':Wikidata' (reference predicate, knowledge_graph.py:167-169,
-        also libs/axiom_extraction/graph_extraction.py:11-24)."""
+        also libs/axiom_extraction/graph_extraction.py:11-24). Transcript
+        KGs have no dbo: ontology — see :meth:`with_valid_types`."""
+        if self._valid_type_ids is not None:
+            return self._valid_type_ids
         return self.entities.filter(
             F.col("uri").startswith("dbo:") & ~F.col("uri").contains(":Wikidata")
         ).select(F.col("id"))

@@ -40,6 +40,7 @@ def run_pipeline(
     encode_method: str = "hash",
     expressive: bool = False,
     bucket_edges: int | None = None,
+    dataset_per_class: int | None = 500,
 ) -> dict:
     """Run (or resume) the full KG-construction pipeline; returns the
     stage-manifest summary.
@@ -50,6 +51,10 @@ def run_pipeline(
     continues through seeded dataset creation and non-expressive taxonomy
     extraction; ``expressive=True`` additionally runs the frontier-wave
     expressive loop, whose state snapshots per wave (kill/resume-safe).
+
+    ``dataset_per_class`` caps the typed-instance dataset per class
+    (seeded stratified sample) — the O(n²)-memory HAC downstream must see
+    a bounded sample, not every typed instance of a 100M-triple corpus.
 
     ``bucket_edges=N`` materializes the dual bucketed edge copies
     (``by_h``/``by_t``, N buckets each) after canonicalization and points
@@ -134,6 +139,11 @@ def run_pipeline(
                 fingerprint=ck.fingerprint("40_edges"),
             )
             kg = kg.with_colocated(by_h, by_t)
+        # transcript KGs carry no dbo: ontology, so the valid-class set is
+        # every isa tail — without this the expressive loop's concept
+        # atoms are all silently dropped (valid_type_ids() default);
+        # after with_colocated so the derivation reads the t-keyed copy
+        kg = kg.with_valid_types()
         from sparktax.typevec import type_vectors
 
         tv = ck.stage(
@@ -170,8 +180,11 @@ def run_pipeline(
         )
         ds = ck.stage(
             "51_dataset",
-            lambda: dataset_from_chosen(chosen, classes_full),
-            params={"seed": 42}, upstream=["50_choice", "52_classes"],
+            lambda: dataset_from_chosen(
+                chosen, classes_full, per_class=dataset_per_class
+            ),
+            params={"seed": 42, "per_class": dataset_per_class},
+            upstream=["50_choice", "52_classes"],
         )
         classes = classes_full.select("class_id", "class_name")
 

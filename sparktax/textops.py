@@ -414,3 +414,64 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
         ws.cast("long").alias("ws_tokens"),
         bpe.cast("long").alias("bpe_ish_tokens"),
     )
+
+
+def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, top_token_frac, top_bigram_frac,
+    dup_sentence_frac) — Gopher-style repetition filters (Rae et al. 2021,
+    "Scaling Language Models", table A1): the share of all tokens taken by
+    the single most frequent token / word 2-gram, and the fraction of
+    duplicated sentences. High values flag boilerplate and templated docs
+    for removal before LM training.
+
+    Scale shape: one posexplode, then hash groupBys keyed on
+    (doc_id, gram) with map-side partial aggregation — one row per doc
+    through the final exchange; the sentence signal is pure array
+    expressions on the unexploded table (no second explode)."""
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(txt, r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+
+    def top_frac(grams: DataFrame, gram_cols: list[str], out: str) -> DataFrame:
+        per_gram = grams.groupBy("doc_id", *gram_cols).agg(
+            F.count("*").alias("c")
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias(out),
+            F.sum("c").alias(f"_n_{out}"),
+        )
+
+    tok_stats = top_frac(toks, ["tok"], "top_token_frac")
+    big_stats = top_frac(bigrams, ["tok", "nxt"], "top_bigram_frac")
+
+    sents = F.filter(
+        F.transform(F.split(txt, r"[.!?]"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    dup_sent = F.when(
+        F.size(sents) > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(sents)) / F.size(sents), 6
+        ),
+    ).otherwise(0.0)
+
+    base = documents.select("doc_id", dup_sent.alias("dup_sentence_frac"))
+    return (
+        base.join(tok_stats, "doc_id", "left")
+        .join(big_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n_top_token_frac"), F.lit(0)).alias("n_tokens"),
+            F.coalesce("top_token_frac", F.lit(0.0)).alias("top_token_frac"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            "dup_sentence_frac",
+        )
+    )

@@ -287,3 +287,62 @@ def test_named_taxonomy_semi_joins_dims(spark):
         ("*dbr:e5", "⊤"),
     ]
     assert wall < 30  # a full 20M-row toPandas would blow far past this
+
+
+def test_dry_first_wave_retries_root_at_relaxed_threshold(ekg, spark):
+    """A threshold too strict for wave 1 must not terminate with an empty
+    taxonomy: the root is always an extracted class (reference
+    short_names = {root: root}, extractor.py:173), so relaxation
+    re-enqueues REM(⊤) and the search continues."""
+    from dataclasses import replace
+
+    from sparktax.expressive import ExpressiveExtractor, ExpressiveParams
+    from sparktax.typevec import type_vectors
+
+    kg, triples, info = ekg
+    emb = type_vectors(kg, k=16).localCheckpoint()
+    # threshold 1.01 is unsatisfiable (scores ≤ 1) → wave 1 finds nothing;
+    # with steps of 0.2 down to 0.6 the loop must relax and recover edges
+    params = ExpressiveParams(
+        size=500, min_size=25, max_waves=6, seed=1,
+        threshold_initial=1.01, threshold_min=0.55, threshold_step=0.2,
+    )
+    ex = ExpressiveExtractor(kg, emb, params)
+    edges = ex.run()
+    assert len(ex.wave_log) >= 2, "loop terminated after the dry wave"
+    assert ex.threshold < 1.01
+    assert edges, "no taxonomy after relaxation"
+
+
+def test_with_valid_types_enables_concept_atoms_on_transcript_kg(spark):
+    """Transcript KGs have no dbo: ontology — the default valid-class
+    predicate is empty and mine_atoms silently drops every concept atom
+    (observed as 7 waves × 0 atoms at 100M scale). with_valid_types()
+    (classes = isa tails) restores them."""
+    from pyspark.sql import functions as F
+
+    from sparktax.graph.kg import KnowledgeGraph
+    from sparktax.induction import frequent_atoms, mine_atoms
+
+    triples = [(i, 1, 900 + (i % 2)) for i in range(40)]  # typing, 2 classes
+    triples += [(i, 2, 50) for i in range(40)]            # a relation edge
+    ents = [(i, f"E{i}") for i in range(40)] + [
+        (900, "W0"), (901, "W1"), (50, "HUB"),
+    ]
+    kg = KnowledgeGraph(
+        spark.createDataFrame(triples, "h long, r long, t long"),
+        spark.createDataFrame(ents, "id long, uri string"),
+        spark.createDataFrame([(1, "is_a"), (2, "rel")], "id long, uri string"),
+        isa_uri="is_a",
+    )
+    sample = spark.createDataFrame(
+        [(0, i) for i in range(40)], "task_id long, h long"
+    )
+    sizes = sample.groupBy("task_id").agg(F.count("*").alias("n"))
+
+    def concept_atoms(g):
+        freq = frequent_atoms(mine_atoms(g, sample), sizes, threshold=0.1)
+        return {r.atom for r in freq.collect() if r.atom.startswith("C:")}
+
+    assert concept_atoms(kg) == set()  # dbo: predicate matches nothing
+    assert concept_atoms(kg.with_valid_types()) == {"C:900", "C:901"}

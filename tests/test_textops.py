@@ -221,3 +221,31 @@ def test_quality_and_tokens(spark, docs):
     qmap = q.set_index("doc_id")
     for r in sample.itertuples(index=False):
         assert qmap.loc[r.doc_id, "n_chars"] == len(r.text)
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition filters: templated text scores high, varied
+    text low; empty docs are 0-safe."""
+    from sparktax.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now. buy now. buy now. buy now."),
+            (1, "the quick brown fox jumps over a lazy dog today."),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    # doc 0: "buy"/"now." each 4 of 8 tokens; "buy now." bigram 4 of 7;
+    # 4 identical sentences → 3/4 duplicated
+    assert out[0].n_tokens == 8
+    assert out[0].top_token_frac == pytest.approx(0.5)
+    assert out[0].top_bigram_frac == pytest.approx(4 / 7, abs=1e-6)
+    assert out[0].dup_sentence_frac == pytest.approx(0.75)
+    # doc 1: all tokens distinct
+    assert out[1].top_token_frac == pytest.approx(1 / 10, abs=1e-6)
+    assert out[1].dup_sentence_frac == 0.0
+    # doc 2: empty → all zeros, no division blowups
+    assert (out[2].n_tokens, out[2].top_token_frac, out[2].dup_sentence_frac) \
+        == (0, 0.0, 0.0)
