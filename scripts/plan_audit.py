@@ -78,6 +78,14 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
          "higher-order lambda)",
          lambda p: "HashAggregate" in p and "zip_with" not in p),
     ],
+    "repetition": [
+        ("partial aggregation before each doc-keyed exchange (map-side "
+         "combine on (doc, gram) counts)",
+         lambda p: p.count("HashAggregate") >= 4),
+        ("no cartesian product; doc-keyed joins only",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "minhash_neardup": [
         ("one pre-aggregated signature row per doc through the exchange",
          lambda p: p.count("HashAggregate") >= 2),
