@@ -552,13 +552,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (rows-only: recall is probabilistic)."""
+    """Sign-LSH bucketed ANN, fully DuckDB-oracled via the md5int plane
+    mode: integer hyperplane weights from md5 + 2²⁰-quantized vectors make
+    the signatures (and therefore the banded candidate set) bit-identical
+    across engines; the exact-cosine rerank rounds to 6dp like
+    cosine_topk. Production default stays ``plane_gen="gauss"`` (BLAS
+    matmul signatures, same blocking algorithm)."""
     from sparktax.simsearch import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.orderBy("vec_id").limit(5)
-    return lsh_topk(emb, queries, dim=dim, k=4)
+    return lsh_topk(emb, queries, dim=dim, k=4, plane_gen="md5int")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,11 +729,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked embedding near-dup (rows-only: probabilistic recall)."""
+    """LSH-blocked embedding near-dup, fully DuckDB-oracled via the md5int
+    plane mode (deterministic banded blocking + exact verify — blocking
+    recall is a property of the signatures, which both engines compute
+    bit-identically)."""
     from sparktax.simsearch import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.3, method="lsh")
+    return embedding_near_duplicates(
+        emb, threshold=0.3, method="lsh", plane_gen="md5int"
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +863,99 @@ _COSINE_TOPK_SQL = """
                ORDER BY score DESC, neighbor_id) AS rank
     FROM scored
     QUALIFY rank <= 4
+"""
+
+
+def _lsh_sig_cte(n_planes: int = 16, n_bands: int = 4, seed: int = 42) -> str:
+    """Shared CTE chain replicating sparktax.simsearch.hyperplane_signatures
+    with ``plane_gen="md5int"``: integer weights in [-1000, 1000] from the
+    first 15 md5 hex chars (strpos device), vectors quantized to
+    ``round(x·2²⁰)``, all-integer dot products — signatures bit-identical
+    to Spark's, so the banded candidate sets match exactly."""
+    hex15 = " + ".join(
+        f"strpos('123456789abcdef', substr(mh,{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    bits = n_planes // n_bands
+    mask = (1 << bits) - 1
+    return f"""
+        grid AS (
+            SELECT p.plane, q.pos,
+                   md5('{seed}:' || p.plane::VARCHAR || ':'
+                       || q.pos::VARCHAR) AS mh
+            FROM (SELECT unnest(range(0, {n_planes})) AS plane) p,
+                 (SELECT unnest(range(0,
+                      (SELECT len(embedding) FROM embeddings LIMIT 1)))
+                  AS pos) q
+        ),
+        w AS (SELECT plane, pos, ({hex15}) % 2001 - 1000 AS w FROM grid),
+        qv AS (
+            SELECT vec_id AS id, i - 1 AS pos,
+                   round(embedding[i]::DOUBLE * 1048576)::BIGINT AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        ),
+        dots AS (
+            SELECT id, plane, sum(q * w) AS s
+            FROM qv JOIN w USING (pos) GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT id,
+                   sum(CASE WHEN s >= 0 THEN (1::BIGINT << plane)
+                       ELSE 0 END) AS sig
+            FROM dots GROUP BY id
+        ),
+        bands AS (
+            SELECT id, b.band, (sig >> ({bits} * b.band)) & {mask} AS key
+            FROM sig,
+                 LATERAL (SELECT unnest(range(0, {n_bands})) AS band) b
+        )
+    """
+
+
+_LSH_TOPK_SQL = f"""
+    WITH {_lsh_sig_cte()},
+    q5 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+    cand AS (
+        SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+        FROM bands q JOIN bands c USING (band, key)
+        WHERE q.id IN (SELECT vec_id FROM q5) AND c.id <> q.id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(
+                   qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6)
+                   AS score
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 4
+"""
+
+
+_NEARDUP_LSH_SQL = f"""
+    WITH {_lsh_sig_cte()},
+    cand AS (
+        SELECT DISTINCT x.id AS a, y.id AS b
+        FROM bands x JOIN bands y USING (band, key)
+        WHERE x.id < y.id
+    ),
+    scored AS (
+        SELECT cand.a, cand.b,
+               round(list_cosine_similarity(
+                   ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+                   AS cosine
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.a
+        JOIN embeddings eb ON eb.vec_id = cand.b
+    )
+    SELECT a, b, cosine FROM scored WHERE cosine >= 0.3
 """
 
 
@@ -1475,9 +1578,12 @@ def oracle_sql() -> dict[str, str]:
                 ('B','A'),('C','A'),('D','B'),('E','B'),('F','C'),('G','C')
             ) AS t(child, parent)
         """,
-        # lsh_topk, ivf_topk, embedding_neardup_lsh, media_features:
-        # intentionally omitted (probabilistic recall / binary payloads) →
+        # sign-LSH with md5int planes: signatures are all-integer and
+        # bit-identical across engines, so blocking + rerank oracle fully
+        "lsh_topk": _LSH_TOPK_SQL,
+        "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
+        # ivf_topk, media_features: intentionally omitted (driver-trained
+        # k-means centroids / binary payloads aren't SQL-expressible) →
         # driver rows-only check. (ivf_topk's exactness is oracled
-        # separately via ivf_full_probe; minhash_neardup is fully oracled
-        # above via the md5 hasher.)
+        # separately via ivf_full_probe.)
     }

@@ -113,12 +113,69 @@ def hyperplane_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_gen: str = "gauss",
 ) -> DataFrame:
     """(id, sig) — sign pattern of ``n_planes`` seeded random projections,
-    packed into a long. One Arrow-batched vectorized pandas UDF: the whole
-    batch is a single BLAS ``X @ planes.T`` matmul (the round-2 HOF form ran
-    n_planes interpreted dim-wide lambdas per row). Narrow map, no shuffle."""
+    packed into a long.
+
+    ``plane_gen="gauss"`` (production): one Arrow-batched vectorized pandas
+    UDF — the whole batch is a single BLAS ``X @ planes.T`` matmul (the
+    round-2 HOF form ran n_planes interpreted dim-wide lambdas per row).
+    Narrow map, no shuffle.
+
+    ``plane_gen="md5int"`` (the engine-check mode, same device that
+    oracled MinHash): plane weights are integers in [-1000, 1000] derived
+    from ``md5(f"{seed}:{plane}:{pos}")``, vectors quantize to
+    ``round(x · 2²⁰)``, and the dot product is ALL-INTEGER — bit-identical
+    in any engine regardless of float summation order, so DuckDB can
+    replicate the signatures exactly. Runs fully JVM-side (posexplode +
+    broadcast weight join + codegen hash aggregate, one row per vector
+    through the exchange — the SimHash shape)."""
     assert 0 < n_planes <= 63, "signature must fit a signed long"
+    if plane_gen == "md5int":
+        import hashlib
+
+        spark = embeddings.sparkSession
+        wrows = [
+            (
+                j,
+                i,
+                int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:15], 16)
+                % 2001
+                - 1000,
+            )
+            for i in range(n_planes)
+            for j in range(dim)
+        ]
+        wdf = spark.createDataFrame(wrows, "pos int, plane int, w long")
+        pows = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+        quant = (
+            embeddings.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(F.col(vec_col)).alias("pos", "_x"),
+            )
+            # ×2²⁰ is a pure exponent shift (exact in float64), so both
+            # engines round the same value; q ≲ 2²², q·w ≲ 2³², Σ over
+            # dim·planes ≲ 2⁴⁵ — never near long overflow (ANSI-safe)
+            .withColumn(
+                "q",
+                F.round(F.col("_x").cast("double") * (1 << 20), 0).cast("long"),
+            )
+        )
+        dots = (
+            quant.join(broadcast(wdf), "pos")
+            .groupBy("id", "plane")
+            .agg(F.sum(F.col("q") * F.col("w")).alias("s"))
+        )
+        return dots.groupBy("id").agg(
+            F.sum(
+                F.when(
+                    F.col("s") >= 0, F.element_at(pows, F.col("plane") + 1)
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sig")
+        )
+    if plane_gen != "gauss":
+        raise ValueError(f"plane_gen must be 'gauss' or 'md5int', got {plane_gen!r}")
     rng = np.random.RandomState(seed)
     weights = np.ascontiguousarray(rng.randn(n_planes, dim).T)  # (dim, planes)
     pows = (1 << np.arange(n_planes)).astype(np.int64)
@@ -143,6 +200,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_gen: str = "gauss",
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing ≥1 signature
     band with the query (Hamming-style blocking), exact cosine rerank on
@@ -168,8 +226,16 @@ def lsh_topk(
             ).alias("bk"),
         ).select("id", "bk.band", "bk.key")
 
-    corpus_sig = banded(hyperplane_signatures(embeddings, dim, n_planes, seed, id_col, vec_col))
-    query_sig = banded(hyperplane_signatures(queries, dim, n_planes, seed, id_col, vec_col))
+    corpus_sig = banded(
+        hyperplane_signatures(
+            embeddings, dim, n_planes, seed, id_col, vec_col, plane_gen
+        )
+    )
+    query_sig = banded(
+        hyperplane_signatures(
+            queries, dim, n_planes, seed, id_col, vec_col, plane_gen
+        )
+    )
     cand_ids = (
         corpus_sig.alias("c")
         .join(broadcast(query_sig.alias("q")), ["band", "key"])
@@ -318,6 +384,7 @@ def embedding_near_duplicates(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    plane_gen: str = "gauss",
 ) -> DataFrame:
     """(a, b, cosine) pairs with cosine ≥ threshold, a < b.
 
@@ -344,7 +411,7 @@ def embedding_near_duplicates(
         dim = len(embeddings.select(vec_col).first()[0])
     bits = n_planes // n_bands
     mask = (1 << bits) - 1
-    sigs = hyperplane_signatures(e, dim, n_planes, seed, "_id", "_v")
+    sigs = hyperplane_signatures(e, dim, n_planes, seed, "_id", "_v", plane_gen)
     banded = sigs.select(
         "id",
         F.explode(

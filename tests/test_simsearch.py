@@ -229,3 +229,32 @@ def test_multimodal_real_decode(spark):
         out = decode_ppm(rz.loc[mid, "payload"])
         assert out.shape == (rz.loc[mid, "height"], rz.loc[mid, "width"], 3)
         assert max(out.shape[:2]) <= 32
+
+
+def test_lsh_md5int_mode_matches_blocking_semantics(spark, emb):
+    """The md5int plane mode (integer weights + 2^20 quantization — the
+    DuckDB-oracle path) is the same algorithm as the gauss mode: packed
+    sign signatures, banded candidates, exact rerank. Check signatures are
+    deterministic, bounded, and the top-k output ranks on rounded cosine
+    like the gauss path."""
+    from sparktax.simsearch import hyperplane_signatures, lsh_topk
+
+    dim = len(emb.select("embedding").first()[0])
+    s1 = {r.id: r.sig for r in
+          hyperplane_signatures(emb, dim, plane_gen="md5int").collect()}
+    s2 = {r.id: r.sig for r in
+          hyperplane_signatures(emb, dim, plane_gen="md5int").collect()}
+    assert s1 == s2 and len(s1) == emb.count()
+    assert all(0 <= v < (1 << 16) for v in s1.values())
+    assert len(set(s1.values())) > 1  # signatures discriminate
+    queries = emb.orderBy("vec_id").limit(3)
+    out = lsh_topk(emb, queries, dim=dim, k=4, plane_gen="md5int").collect()
+    assert all(r.rank <= 4 and r.query_id != r.neighbor_id for r in out)
+    # candidates that survive are real near neighbors: scores sorted desc
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.score))
+    for pairs in by_q.values():
+        pairs.sort()
+        scores = [s for _, s in pairs]
+        assert scores == sorted(scores, reverse=True)
