@@ -567,13 +567,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only: recall is probabilistic; exactness at
-    full probe + recall bound are pytest-asserted)."""
+    """IVF-bucketed ANN, fully DuckDB-oracled in the reproducible mode:
+    centroids train on the md5-rank-ordered sample (the oracle builder
+    recomputes them bit-identically with hashlib + the same numpy Lloyd),
+    assignment is all-integer quantized, rerank rounds to 6dp. Production
+    default stays the float/BLAS path (same algorithm; recall and
+    full-probe exactness pytest-asserted, plus the ivf_full_probe
+    hash-gate)."""
     from sparktax.simsearch import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
-    return ivf_topk(emb, queries, k=4, n_cells=16, n_probe=4)
+    return ivf_topk(
+        emb, queries, k=4, n_cells=16, n_probe=4, assign_mode="md5int"
+    )
 
 
 def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,6 +964,94 @@ _NEARDUP_LSH_SQL = f"""
     )
     SELECT a, b, cosine FROM scored WHERE cosine >= 0.3
 """
+
+
+def _ivf_sql(
+    k: int = 4, n_cells: int = 16, n_probe: int = 4, seed: int = 42
+) -> str:
+    """DuckDB replica of the md5int IVF probe. The centroids are
+    recomputed HERE, outside Spark: read the gate's parquet directly, sort
+    by the hashlib md5 rank (bit-identical to the Spark-side
+    ``md5_rank_expr``), run the SAME numpy ``_lloyd``, quantize to
+    ``round(c·2²⁰)`` ints, and embed them as literal VALUES. Assignment is
+    then all-integer in both engines; rerank is the proven rounded-cosine
+    pattern. The gate runs at sf0.01 (driver contract);
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides for local checks at other
+    scales."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from sparktax.simsearch import _lloyd
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    rows.sort(
+        key=lambda r: (
+            int(hashlib.md5(f"{r[0]}:{seed}".encode()).hexdigest()[:15], 16),
+            r[0],
+        )
+    )
+    X = np.array([r[1] for r in rows[:4096]], dtype=float)
+    C = _lloyd(X, n_cells, 10, seed)
+    Cq = np.round(C * (1 << 20)).astype(np.int64)
+    w_values = ", ".join(
+        f"({i}, {j}, {int(Cq[i, j])})"
+        for i in range(Cq.shape[0])
+        for j in range(Cq.shape[1])
+    )
+    return f"""
+        WITH w(cell, pos, w) AS (VALUES {w_values}),
+        qv AS (
+            SELECT vec_id AS id, i - 1 AS pos,
+                   round(embedding[i]::DOUBLE * 1048576)::BIGINT AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        ),
+        dots AS (
+            SELECT id, cell, sum(q * w) AS s
+            FROM qv JOIN w USING (pos) GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT id, cell,
+                   row_number() OVER (PARTITION BY id
+                       ORDER BY s DESC, cell DESC) AS rk
+            FROM dots
+        ),
+        corpus_cells AS (SELECT id AS neighbor_id, cell FROM ranked
+                         WHERE rk = 1),
+        q5 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+        probe AS (
+            SELECT id AS query_id, cell FROM ranked
+            WHERE rk <= {n_probe} AND id IN (SELECT vec_id FROM q5)
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, c.neighbor_id
+            FROM probe p JOIN corpus_cells c USING (cell)
+            WHERE p.query_id <> c.neighbor_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(list_cosine_similarity(
+                       qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6)
+                       AS score
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
 
 
 def _simhash_sql() -> str:
@@ -1582,8 +1677,9 @@ def oracle_sql() -> dict[str, str]:
         # bit-identical across engines, so blocking + rerank oracle fully
         "lsh_topk": _LSH_TOPK_SQL,
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
-        # ivf_topk, media_features: intentionally omitted (driver-trained
-        # k-means centroids / binary payloads aren't SQL-expressible) →
-        # driver rows-only check. (ivf_topk's exactness is oracled
-        # separately via ivf_full_probe.)
+        # IVF in the reproducible mode: centroids recomputed outside Spark
+        # from the md5-rank sample, integer assignment, rounded rerank
+        "ivf_topk": _ivf_sql(),
+        # media_features: intentionally omitted (binary payloads aren't
+        # SQL-expressible) → driver rows-only check.
     }

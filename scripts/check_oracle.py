@@ -45,6 +45,11 @@ def frame_sig(pdf):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    import os
+
+    # oracles that recompute constants from the gate data (ivf_topk's
+    # centroids) read this instead of assuming the driver's sf0.01
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(app="oracle-check", cores=8)
     con = duckdb.connect()
     for t in TABLES:

@@ -253,27 +253,13 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def train_ivf_centroids(
-    embeddings: DataFrame,
-    n_cells: int = 16,
-    sample: int = 4096,
-    iters: int = 10,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> np.ndarray:
-    """Spherical k-means centroids for IVF, trained driver-side (numpy
-    Lloyd iterations; the container has no MLlib-free alternative worth a
-    shuffle) on a seeded ``xxhash64``-ordered sample. Returns a unit-norm
-    (n_cells, dim) matrix — small by construction, shipped to executors as
-    literal expressions."""
-    pdf = (
-        embeddings.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-        .limit(sample)
-        .select(vec_col)
-        .toPandas()
-    )
-    X = np.stack(pdf[vec_col].to_numpy()).astype(float)
+def _lloyd(X: np.ndarray, n_cells: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means Lloyd iterations on a row-ORDERED sample matrix.
+
+    Factored out so the DuckDB oracle builder can recompute bit-identical
+    centroids from the same md5-rank-ordered sample (row order feeds both
+    the seeded init choice and the mean-summation order)."""
+    X = X.astype(float)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
@@ -285,6 +271,53 @@ def train_ivf_centroids(
                 m = members.mean(axis=0)
                 C[j] = m / max(np.linalg.norm(m), 1e-12)
     return C
+
+
+def md5_rank_expr(col, seed: int):
+    """Exact 60-bit integer of the first 15 hex chars of
+    ``md5(col || ':' || seed)`` — the engine-portable seeded rank (DuckDB
+    replicates it via the strpos hex device; hashlib replicates it in
+    Python)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", col.cast("string"), F.lit(seed))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_on: str = "xxhash64",
+) -> np.ndarray:
+    """Spherical k-means centroids for IVF, trained driver-side (numpy
+    Lloyd iterations; the container has no MLlib-free alternative worth a
+    shuffle) on a seeded hash-ordered sample. Returns a unit-norm
+    (n_cells, dim) matrix — small by construction, shipped to executors as
+    literal expressions. ``rank_on="md5"`` orders the sample by the
+    engine-portable md5 rank (hashlib-replicable), making the trained
+    centroids reproducible outside Spark."""
+    if rank_on == "md5":
+        key = md5_rank_expr(F.col(id_col), seed)
+    elif rank_on == "xxhash64":
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        raise ValueError(f"rank_on must be 'xxhash64' or 'md5', got {rank_on!r}")
+    pdf = (
+        embeddings.orderBy(key, F.col(id_col))
+        .limit(sample)
+        .select(vec_col)
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype(float)
+    return _lloyd(X, n_cells, iters, seed)
 
 
 def _top_cells_udf(centroids: np.ndarray, n: int):
@@ -324,6 +357,47 @@ def ivf_assign(
     )
 
 
+def _quantized_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell) — the ``n`` top cells per vector by ALL-INTEGER dot
+    product: centroid weights quantize to ``round(c·2²⁰)`` (numpy, shared
+    with the oracle builder) and vectors to ``round(x·2²⁰)`` (JVM round —
+    the same half-away-from-zero DuckDB uses), so the assignment is
+    bit-identical in any engine. Ties break toward the higher cell index,
+    matching :func:`_top_cells_udf`. JVM-side: posexplode + broadcast
+    weight join + codegen hash aggregate (the SimHash/LSH-md5int shape)."""
+    Cq = np.round(centroids * (1 << 20)).astype(np.int64)
+    spark = embeddings.sparkSession
+    wrows = [
+        (j, i, int(Cq[i, j]))
+        for i in range(Cq.shape[0])
+        for j in range(Cq.shape[1])
+    ]
+    wdf = spark.createDataFrame(wrows, "pos int, cell int, w long")
+    quant = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_x"),
+    ).withColumn(
+        "q", F.round(F.col("_x").cast("double") * (1 << 20), 0).cast("long")
+    )
+    dots = (
+        quant.join(broadcast(wdf), "pos")
+        .groupBy("id", "cell")
+        .agg(F.sum(F.col("q") * F.col("w")).alias("s"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("s"), F.desc("cell"))
+    return (
+        dots.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .select("id", "cell")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -335,6 +409,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    assign_mode: str = "float",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors partition into ``n_cells``
     inverted lists (one narrow assignment pass); each query probes its
@@ -345,19 +420,42 @@ def ivf_topk(
     against a broadcast query-probe table — candidate volume is
     ~n_probe/n_cells of the corpus per query instead of all of it, and no
     cross join ever materializes. Recall is tunable via ``n_probe``
-    (recall→1 as n_probe→n_cells)."""
+    (recall→1 as n_probe→n_cells).
+
+    ``assign_mode="float"`` (production): BLAS matmul assignment.
+    ``assign_mode="md5int"``: all-integer quantized assignment
+    (:func:`_quantized_cells`) — with md5-rank-trained centroids the whole
+    probe becomes engine-reproducible (the DuckDB oracle path)."""
     if centroids is None:
         centroids = train_ivf_centroids(
-            embeddings, n_cells, sample, seed=seed, id_col=id_col, vec_col=vec_col
+            embeddings,
+            n_cells,
+            sample,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            rank_on="md5" if assign_mode == "md5int" else "xxhash64",
         )
-    corpus_cells = ivf_assign(embeddings, centroids, id_col, vec_col).withColumnRenamed(
-        "id", "neighbor_id"
-    )
-    probe_cells = _top_cells_udf(centroids, n_probe)
-    query_cells = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
-    )
+    if assign_mode == "md5int":
+        corpus_cells = _quantized_cells(
+            embeddings, centroids, 1, id_col, vec_col
+        ).withColumnRenamed("id", "neighbor_id")
+        query_cells = _quantized_cells(
+            queries, centroids, n_probe, id_col, vec_col
+        ).withColumnRenamed("id", "query_id")
+    elif assign_mode == "float":
+        corpus_cells = ivf_assign(
+            embeddings, centroids, id_col, vec_col
+        ).withColumnRenamed("id", "neighbor_id")
+        probe_cells = _top_cells_udf(centroids, n_probe)
+        query_cells = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+    else:
+        raise ValueError(
+            f"assign_mode must be 'float' or 'md5int', got {assign_mode!r}"
+        )
     cand_ids = (
         corpus_cells.join(broadcast(query_cells), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
