@@ -966,6 +966,58 @@ _NEARDUP_LSH_SQL = f"""
 """
 
 
+# media_features gold: the fixture is fully seeded (gen_media_pdf(60,
+# seed=9)) and the numpy PPM/WAV decode + feature kernel deterministic,
+# so — like taxonomy_blobs — the oracle is the literal expected table
+# (sf-independent: the query reads no sf tables). Any decode/feature
+# regression hash-mismatches here. Regenerate by running the query.
+_MEDIA_GOLD_SQL = """
+    SELECT media_id, kind, n_bytes,
+           f0::DOUBLE AS f0, f2::DOUBLE AS f2
+    FROM (VALUES (0, 'image', 15133, 0.32787, 0.46702),
+                (1, 'audio', 161804, 0.32725, 0.50801),
+                (3, 'image', 3277, 0.32431, 0.49672),
+                (4, 'audio', 447436, 0.31273, 0.48091),
+                (6, 'image', 1153, 0.30154, 0.29784),
+                (7, 'audio', 20428, 0.51819, 0.76037),
+                (9, 'image', 15232, 0.42034, 0.32401),
+                (10, 'audio', 132812, 0.42375, 0.63118),
+                (12, 'image', 12067, 0.28617, 0.34494),
+                (13, 'audio', 827308, 0.36888, 0.56575),
+                (15, 'image', 8377, 0.33176, 0.25552),
+                (16, 'audio', 45532, 0.19341, 0.30775),
+                (18, 'image', 24853, 0.26583, 0.30477),
+                (19, 'audio', 501196, 0.2674, 0.41539),
+                (21, 'image', 1039, 0.44177, 0.32499),
+                (22, 'audio', 923148, 0.29705, 0.45976),
+                (24, 'image', 2653, 0.35314, 0.30566),
+                (25, 'audio', 172556, 0.38747, 0.58629),
+                (27, 'image', 8275, 0.41314, 0.44947),
+                (28, 'audio', 785324, 0.41172, 0.62136),
+                (30, 'image', 4567, 0.27712, 0.40927),
+                (31, 'audio', 8204, 0.16918, 0.26688),
+                (33, 'image', 21640, 0.30937, 0.28779),
+                (34, 'audio', 918972, 0.20508, 0.33226),
+                (36, 'image', 5338, 0.34705, 0.48273),
+                (37, 'audio', 242284, 0.46363, 0.69243),
+                (39, 'image', 2842, 0.41842, 0.2637),
+                (40, 'audio', 309884, 0.23415, 0.37532),
+                (42, 'image', 2848, 0.39206, 0.3897),
+                (43, 'audio', 371484, 0.30111, 0.4637),
+                (45, 'image', 7438, 0.44646, 0.32898),
+                (46, 'audio', 276668, 0.37019, 0.55919),
+                (48, 'image', 8203, 0.27112, 0.47272),
+                (49, 'audio', 547532, 0.19123, 0.30906),
+                (51, 'image', 8308, 0.36312, 0.45237),
+                (52, 'audio', 560652, 0.27086, 0.42128),
+                (54, 'image', 4222, 0.32085, 0.39496),
+                (55, 'audio', 800844, 0.23821, 0.37303),
+                (57, 'image', 4513, 0.44429, 0.31558),
+                (58, 'audio', 378268, 0.29229, 0.45134))
+        AS t(media_id, kind, n_bytes, f0, f2)
+"""
+
+
 def _ivf_sql(
     k: int = 4, n_cells: int = 16, n_probe: int = 4, seed: int = 42
 ) -> str:
@@ -1680,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         # IVF in the reproducible mode: centroids recomputed outside Spark
         # from the md5-rank sample, integer assignment, rounded rerank
         "ivf_topk": _ivf_sql(),
-        # media_features: intentionally omitted (binary payloads aren't
-        # SQL-expressible) → driver rows-only check.
+        # media lane: binary payloads aren't SQL-expressible, but the
+        # fixture is seeded and the decode deterministic → literal gold
+        "media_features": _MEDIA_GOLD_SQL,
     }

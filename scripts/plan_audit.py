@@ -78,6 +78,20 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
          "higher-order lambda)",
          lambda p: "HashAggregate" in p and "zip_with" not in p),
     ],
+    "lsh_topk": [
+        ("integer signature pipeline runs as codegen hash aggregates "
+         "(posexplode + broadcast weight join), no cartesian product",
+         lambda p: p.count("HashAggregate") >= 2
+         and "CartesianProduct" not in p),
+        ("banded candidate + rerank joins are hash joins",
+         lambda p: "BroadcastHashJoin" in p or "SortMergeJoin" in p),
+    ],
+    "ivf_topk": [
+        ("quantized assignment aggregates map-side; candidates from a "
+         "cell equi-join, never a cross join",
+         lambda p: p.count("HashAggregate") >= 2
+         and "CartesianProduct" not in p),
+    ],
     "repetition": [
         ("partial aggregation before each doc-keyed exchange (map-side "
          "combine on (doc, gram) counts)",
