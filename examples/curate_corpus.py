@@ -1,7 +1,8 @@
 """Training-data curation — the documents-table lane end-to-end:
 
-    exact dedup → MinHash/LSH near-dup → quality + language filters →
-    benchmark decontamination → clean corpus + audit counts.
+    exact dedup → MinHash/LSH near-dup → quality + language +
+    repetition filters → benchmark decontamination → clean corpus +
+    audit counts.
 
 Every stage is pure Catalyst (no Python in a hot path) and every
 filter is expressed so it would run unchanged over a 100 TB corpus:
@@ -25,6 +26,7 @@ from sparktax.textops import (  # noqa: E402
     language_id,
     minhash_near_duplicates,
     quality_score,
+    repetition_signals,
 )
 
 
@@ -48,7 +50,14 @@ def main() -> None:
     # 3. quality + language gates (all Catalyst expressions)
     q = quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
     lang = language_id(docs).filter(F.col("lang_pred") == "en").select("doc_id")
-    docs = docs.join(q, "doc_id", "left_semi").join(lang, "doc_id", "left_semi")
+    rep = repetition_signals(docs).filter(
+        (F.col("top_bigram_frac") < 0.2) & (F.col("dup_sentence_frac") < 0.3)
+    ).select("doc_id")
+    docs = (
+        docs.join(q, "doc_id", "left_semi")
+        .join(lang, "doc_id", "left_semi")
+        .join(rep, "doc_id", "left_semi")
+    )
     n3 = docs.count()
 
     # 4. decontamination against a probe set (stand-in: every 100th doc's
@@ -61,7 +70,8 @@ def main() -> None:
     docs = decontaminated(docs, probes, n=8)
     n4 = docs.count()
 
-    print(f"raw={n0}  exact-dedup={n1}  near-dup={n2}  quality/lang={n3}  decontaminated={n4}")
+    print(f"raw={n0}  exact-dedup={n1}  near-dup={n2}  "
+          f"quality/lang/repetition={n3}  decontaminated={n4}")
     spark.stop()
 
 

@@ -12,7 +12,13 @@ stats (frontier size, sample rows, atom-join rows, wall) plus the
 recovered taxonomy.
 
 Usage:
-    python scripts/e2e_pipeline_scale.py [replicas=24] [sf_dir=/root/testdata/sf0.1] [base=/dev/shm/sparktax-e2e]
+    python scripts/e2e_pipeline_scale.py [replicas=24] [sf_dir=/root/testdata/sf0.1] [base=/dev/shm/sparktax-e2e] [cores=32]
+
+With ``SPARKTAX_E2E_KEEP=1`` the corpus + pipeline workdir persist, so a
+second invocation at a different ``cores`` reuses every stage and times
+ONLY the expressive pass — the two-parallelism (N vs 4N) scaling
+measurement for the frontier-wave loop (the wave workload is
+seed-deterministic, so both runs do identical work).
 
 Writes nothing outside ``base`` (default tmpfs: the sandbox's virtual
 disk throttles to ~20 MB/s under sustained multi-GB writes; see
@@ -116,11 +122,12 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     base = sys.argv[3] if len(sys.argv) > 3 else "/dev/shm/sparktax-e2e"
+    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     corpus = os.path.join(base, "corpus")
     workdir = os.path.join(base, "work")
     os.makedirs(base, exist_ok=True)
 
-    spark = get_spark(app="e2e-scale", cores=32)
+    spark = get_spark(app="e2e-scale", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()
@@ -165,7 +172,8 @@ def main() -> None:
     t0 = time.perf_counter()
     taxo = ex.run()
     wall = time.perf_counter() - t0
-    print(json.dumps({"stage": "expressive", "wall_sec": round(wall, 1),
+    print(json.dumps({"stage": "expressive", "cores": cores,
+                      "wall_sec": round(wall, 1),
                       "waves": ex.wave_log, "edges": len(taxo)}))
     named = ex.named_taxonomy(taxo)
     for c, p in named:

@@ -240,6 +240,11 @@ def main() -> None:
         help="materialize dual bucketed edge copies (N buckets) and use "
         "them for the 2-hop joins",
     )
+    ap.add_argument(
+        "--dataset-per-class", type=int, default=500,
+        help="per-class cap on the typed-instance dataset (the downstream "
+        "HAC is O(n²) memory in the dataset size); 0 = uncapped",
+    )
     args = ap.parse_args()
     from sparktax.session import get_spark
 
@@ -254,6 +259,7 @@ def main() -> None:
         encode_method=args.encode_method,
         expressive=args.expressive,
         bucket_edges=args.bucket_edges,
+        dataset_per_class=args.dataset_per_class or None,
     )
     print(json.dumps(summary, indent=1))
     spark.stop()
