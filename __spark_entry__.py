@@ -1729,10 +1729,20 @@ def oracle_sql() -> dict[str, str]:
         # bit-identical across engines, so blocking + rerank oracle fully
         "lsh_topk": _LSH_TOPK_SQL,
         "embedding_neardup_lsh": _NEARDUP_LSH_SQL,
-        # IVF in the reproducible mode: centroids recomputed outside Spark
-        # from the md5-rank sample, integer assignment, rounded rerank
-        "ivf_topk": _ivf_sql(),
         # media lane: binary payloads aren't SQL-expressible, but the
         # fixture is seeded and the decode deterministic → literal gold
         "media_features": _MEDIA_GOLD_SQL,
+        # IVF in the reproducible mode: centroids recomputed outside Spark
+        # from the md5-rank sample, integer assignment, rounded rerank.
+        # Added last + guarded: the builder reads the gate parquet, and a
+        # missing testdata dir must degrade ivf_topk to rows-only rather
+        # than break every oracle in the dict.
+        **_maybe_ivf_oracle(),
     }
+
+
+def _maybe_ivf_oracle() -> dict[str, str]:
+    try:
+        return {"ivf_topk": _ivf_sql()}
+    except Exception:  # noqa: BLE001 — no gate data → rows-only fallback
+        return {}
