@@ -125,6 +125,12 @@ def get_spark(
         .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # a crashed Python worker otherwise surfaces as an opaque
+        # "exited unexpectedly" (or a silent hang while the JVM waits on
+        # the Arrow stream — observed once on a long session); the
+        # faulthandler dump costs nothing and names the faulting frame
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )
     local_dir = _default_local_dir()
     if local_dir:
