@@ -1742,7 +1742,19 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _maybe_ivf_oracle() -> dict[str, str]:
+    # Narrow catch (round-4 advice): only the expected missing-gate-data
+    # failures degrade to rows-only; a genuine bug in _ivf_sql (duckdb
+    # error, numpy error, typo) must surface, not be silently masked.
+    try:
+        import duckdb
+
+        missing = (FileNotFoundError, OSError, duckdb.IOException)
+    except ImportError:
+        return {}
     try:
         return {"ivf_topk": _ivf_sql()}
-    except Exception:  # noqa: BLE001 — no gate data → rows-only fallback
+    except missing as e:
+        import sys
+
+        print(f"ivf_topk oracle degraded to rows-only: {e!r}", file=sys.stderr)
         return {}

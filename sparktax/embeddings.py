@@ -32,6 +32,25 @@ from pyspark.sql import functions as F
 from sparktax import schemas
 
 
+def _ids_digest(ids) -> str:
+    """Stable digest of an ``ids`` argument for sidecar freshness checks
+    ("default" when row-index ids are implied)."""
+    if ids is None:
+        return "default"
+    import hashlib
+
+    arr = np.asarray(ids, dtype=np.int64)
+    return hashlib.md5(arr.tobytes()).hexdigest()
+
+
+def _read_text(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read()
+    except OSError:
+        return None
+
+
 def npy_to_embeddings(
     spark: SparkSession,
     npy_path: str,
@@ -51,9 +70,15 @@ def npy_to_embeddings(
     import pyarrow.parquet as pq
 
     sidecar = sidecar or npy_path + ".d4.parquet"
+    # the sidecar is only fresh for the SAME ids it was written with: a
+    # second call with different ids must rebuild, not silently return
+    # the stale mapping (round-4 advice)
+    ids_digest = _ids_digest(ids)
+    digest_path = sidecar + ".ids"
     fresh = (
         os.path.exists(sidecar)
         and os.path.getmtime(sidecar) >= os.path.getmtime(npy_path)
+        and _read_text(digest_path) == ids_digest
     )
     if refresh or not fresh:
         mat = np.load(npy_path, mmap_mode="r")
@@ -83,6 +108,8 @@ def npy_to_embeddings(
                     )
                 )
         os.replace(tmp, sidecar)
+        with open(digest_path, "w") as f:
+            f.write(ids_digest)
     df = spark.read.parquet(sidecar)
     # parquet list<float> reads back nullable; cast onto the D4 contract
     return df.select(

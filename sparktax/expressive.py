@@ -67,6 +67,10 @@ class ExpressiveParams:
     # target (skew.auto_hot_keys); int pins the count; None opts out.
     salt_hot_min: int | str | None = "auto"
     salt_buckets: int = 16
+    # overlap next-wave extension scans (JVM) with this wave's kernels
+    # (Python workers) — disjoint resources, so prefetching hides the scan
+    # latency entirely when the queue already determines the next frontier
+    prefetch: bool = True
 
     @classmethod
     def from_json(cls, path_or_dict) -> "ExpressiveParams":

@@ -15,6 +15,7 @@ local-mode tests:
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -75,9 +76,18 @@ def _sweep_dead_scratch(base: str) -> None:
         entries = os.listdir(base)
     except OSError:
         return
+    now = time.time()
     for name in entries:
         path = os.path.join(base, name)
-        dead = name.startswith(("spark-", "blockmgr-"))
+        dead = False
+        if name.startswith(("spark-", "blockmgr-")):
+            # legacy un-tagged dirs carry no owner pid: a pre-round-4
+            # session could still be using them, so only reclaim after
+            # an hour of no modification (live shuffle dirs churn)
+            try:
+                dead = now - os.path.getmtime(path) > 3600
+            except OSError:
+                continue
         if name.startswith("pid-"):
             try:
                 os.kill(int(name[4:]), 0)

@@ -258,13 +258,15 @@ def tree_svg(
         height = 80 * (depth_span + 1)
     pad = 40
     sx = (width - 2 * pad) / (x1 - x0 or 1.0)
-    sy = (height - 2 * pad) / (y0 - y1 or 1.0)  # y grows downward in SVG
+    # root (max y) at the TOP pixel row, leaves below — matches the
+    # reference plot_tree orientation (libs/viz/nary_tree.py:70-105)
+    sy = (height - 2 * pad) / (y1 - y0 or 1.0)
 
     def px(x: float) -> float:
         return round(pad + (x - x0) * sx, 2)
 
     def py(y: float) -> float:
-        return round(pad + (y0 - y) * sy, 2)
+        return round(pad + (y1 - y) * sy, 2)
 
     parts = [
         f"<svg xmlns='http://www.w3.org/2000/svg' width='{width}' "

@@ -41,6 +41,15 @@ def test_npy_custom_ids_and_sidecar_reuse(spark, npy_file, tmp_path):
     stamp = os.path.getmtime(sidecar)
     emb.npy_to_embeddings(spark, path, ids=ids).count()  # reuse, no rewrite
     assert os.path.getmtime(sidecar) == stamp
+    # CHANGED ids must invalidate the sidecar (round-4 advice: a stale
+    # sidecar used to win silently) — new mapping, not the old one
+    ids2 = np.arange(50) * 10 + 1
+    df2 = emb.npy_to_embeddings(spark, path, ids=ids2)
+    assert df2.agg({"entity_id": "max"}).first()[0] == 491
+    assert os.path.getmtime(sidecar) > stamp
+    # and dropping back to default row-index ids rebuilds again
+    df3 = emb.npy_to_embeddings(spark, path)
+    assert df3.agg({"entity_id": "max"}).first()[0] == 49
     with pytest.raises(ValueError, match="ids"):
         emb.npy_to_embeddings(spark, path, ids=[1, 2], refresh=True)
 

@@ -188,6 +188,23 @@ def test_tree_svg(tmp_path):
     assert svg.startswith("<svg") and svg.endswith("</svg>")
     assert svg.count("<circle") == 10 and svg.count("<line") == 9
     assert path.read_text() == svg
+    # orientation matches the reference plot_tree: root at the TOP (its
+    # pixel y strictly smaller than every deeper node's)
+    import re
+
+    cys = [float(m) for m in re.findall(r"cy='([0-9.]+)'", svg)]
+    from sparktax.viz import tree_coords
+
+    coords, _ = tree_coords(_ref_example_tree())
+    root_y = max(y for _, y in coords.values())  # root has max layout y
+    deepest = min(y for _, y in coords.values())
+    assert root_y > deepest
+    assert min(cys) < max(cys)
+    # root maps to the minimum pixel row
+    order = sorted(coords.values(), key=lambda p: -p[1])
+    assert order[0][1] == root_y
+    root_py = min(cys)
+    assert root_py == pytest.approx(40.0)  # pad — top of the canvas
 
 
 def test_tree_html_root_column_nbsp():
