@@ -236,6 +236,61 @@ def tree_coords(
     return coords, edges
 
 
+def plot_tree(
+    coords: dict,
+    edges: list,
+    labels=None,
+    filename: str | None = None,
+    edge_params: dict | None = None,
+    node_params: dict | None = None,
+    label_params: dict | None = None,
+    figure_params: dict | None = None,
+    show: bool = True,
+):
+    """Matplotlib convenience wrapper over :func:`tree_coords` output —
+    the reference's ``plot_tree`` surface (libs/viz/nary_tree.py:69-105):
+    scatter the nodes, draw the edges, optionally annotate and save.
+
+    matplotlib is imported LAZILY: this container doesn't ship it, so the
+    function raises a clear ImportError here while working unchanged on
+    any cluster with matplotlib installed (:func:`tree_svg` /
+    :func:`tree_html` are the no-dependency fallbacks).
+
+    ``labels``: None (no labels), a callable node→str, or a mapping
+    node→str (missing nodes fall back to ``str``).
+    """
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as e:
+        raise ImportError(
+            "plot_tree needs matplotlib, which this environment does not "
+            "provide; use tree_svg()/tree_html()/tree_dot() for "
+            "dependency-free rendering, or pip install matplotlib"
+        ) from e
+    edge_params = dict(c="k", alpha=0.2) if edge_params is None else edge_params
+    node_params = dict(c="k", alpha=0.2) if node_params is None else node_params
+    label_params = {} if label_params is None else label_params
+    fig = plt.figure(**(figure_params or {}))
+    xs = [x for x, _ in coords.values()]
+    ys = [y for _, y in coords.values()]
+    plt.scatter(xs, ys, **node_params)
+    for edge in edges:
+        plt.plot(*edge, **edge_params)
+    if labels is not None:
+        if callable(labels):
+            name = labels
+        else:
+            name = lambda n: str(labels.get(n, n))  # noqa: E731
+        for node, (x, y) in coords.items():
+            plt.annotate(name(node), (x, y), **label_params)
+    plt.axis("off")
+    if filename is not None:
+        plt.savefig(fname=filename)
+    if show:
+        plt.show()
+    return fig
+
+
 def tree_svg(
     tree: Tree,
     name: Callable | None = None,

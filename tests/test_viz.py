@@ -207,6 +207,57 @@ def test_tree_svg(tmp_path):
     assert root_py == pytest.approx(40.0)  # pad — top of the canvas
 
 
+def test_plot_tree_no_matplotlib_error():
+    """In-container path: a clear ImportError naming the fallbacks."""
+    from sparktax.viz import plot_tree, tree_coords
+
+    coords, edges = tree_coords(_ref_example_tree())
+    with pytest.raises(ImportError, match="tree_svg"):
+        plot_tree(coords, edges)
+
+
+def test_plot_tree_artist_counts_under_stub(monkeypatch):
+    """With a stub matplotlib: one scatter of all nodes, one plot() per
+    edge, one annotate per node when labels given, savefig on filename."""
+    import sys
+    import types
+
+    calls = {"scatter": [], "plot": [], "annotate": [], "savefig": [],
+             "figure": [], "axis": [], "show": []}
+    plt = types.ModuleType("matplotlib.pyplot")
+    for k in calls:
+        def make(k=k):
+            def f(*a, **kw):
+                calls[k].append((a, kw))
+                return object()
+            return f
+        setattr(plt, k, make())
+    mpl = types.ModuleType("matplotlib")
+    mpl.pyplot = plt
+    monkeypatch.setitem(sys.modules, "matplotlib", mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", plt)
+
+    from sparktax.viz import plot_tree, tree_coords
+
+    coords, edges = tree_coords(_ref_example_tree())
+    plot_tree(coords, edges, labels={"a": "root"}, filename="/dev/null/x.png")
+    assert len(calls["scatter"]) == 1
+    xs, ys = calls["scatter"][0][0][:2]
+    assert len(xs) == len(coords) and len(ys) == len(coords)
+    assert len(calls["plot"]) == len(edges)
+    assert len(calls["annotate"]) == len(coords)
+    # dict labels: mapped node uses the mapping, others fall back to str
+    noted = {a[0] for a, _ in calls["annotate"]}
+    assert "root" in noted and "a" not in noted and "b" in noted
+    assert len(calls["savefig"]) == 1 and len(calls["show"]) == 1
+    assert len(calls["axis"]) == 1
+    # default styling flows through to the artists
+    assert calls["scatter"][0][1].get("alpha") == 0.2
+    # show=False suppresses plt.show
+    plot_tree(coords, edges, show=False)
+    assert len(calls["show"]) == 1
+
+
 def test_tree_html_root_column_nbsp():
     """The root line must not start with a plain space (HTML collapsing
     would shift the root left of its children's connector column)."""
