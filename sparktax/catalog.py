@@ -255,6 +255,30 @@ def snapshot_history(table_dir: str) -> list[dict]:
         return [_json.loads(line) for line in f if line.strip()]
 
 
+def read_snapshot_union(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Read a snapshot dir as an APPEND LOG: the union of every version up
+    to the current (or ``version``) pointer. With one
+    :func:`write_snapshot` per ingested batch this gives Iceberg-append
+    semantics on the parquet fallback — each commit stores ONLY its
+    increment (O(batch), not O(table), per commit), the pointer swap is
+    atomic, and rollback to version v makes later appends invisible
+    without touching their files. Returns None for an empty/uncommitted
+    table (so first-batch callers can skip their anti-joins entirely)."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        return None
+    paths = [
+        _version_dir(table_dir, i)
+        for i in range(1, v + 1)
+        if _os.path.isdir(_version_dir(table_dir, i))
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def rollback_snapshot(table_dir: str, version: int) -> None:
     """Point the table back at an earlier version (the data never moved)."""
     if not _os.path.isdir(_version_dir(table_dir, version)):

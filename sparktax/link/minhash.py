@@ -97,14 +97,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, hasher: str = "xxhash64") -> DataFrame:
-    """(a, b) candidate pairs, a < b, deduplicated across bands.
-
-    Rows-per-band r = k / bands; similarity threshold ≈ (1/b)^(1/r).
-    Bucket keys are xxhash64 of the band slice (8-byte shuffle keys) by
-    default; ``hasher="md5"`` joins on the raw comma-joined slice string
-    instead — bigger keys, but engine-portable (the oracle path).
-    """
+def band_buckets(
+    sigs: DataFrame, bands: int = 16, hasher: str = "xxhash64"
+) -> DataFrame:
+    """(id, band, bucket) — the LSH blocking projection of a signature
+    table. Bucket keys are xxhash64 of the band slice (8-byte shuffle
+    keys) by default; ``hasher="md5"`` uses the raw comma-joined slice
+    string — bigger keys, but engine-portable (the oracle path). Shared
+    by the self-join candidate generator below and the incremental-dedup
+    index (new-batch buckets equi-join STORED buckets)."""
     r_expr = (F.size("sig") / F.lit(bands)).cast("int")
 
     def _bucket(bidx):
@@ -115,7 +116,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, hasher: str = "xxhash6
             ).alias("bucket")
         return F.xxhash64(bidx, sl).alias("bucket")
 
-    buckets = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.transform(
@@ -124,6 +125,14 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, hasher: str = "xxhash6
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, hasher: str = "xxhash64") -> DataFrame:
+    """(a, b) candidate pairs, a < b, deduplicated across bands.
+
+    Rows-per-band r = k / bands; similarity threshold ≈ (1/b)^(1/r).
+    """
+    buckets = band_buckets(sigs, bands=bands, hasher=hasher)
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (

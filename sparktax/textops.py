@@ -121,6 +121,183 @@ def minhash_near_duplicates(
     )
 
 
+def dedup_near(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    seed: int = 42,
+) -> DataFrame:
+    """Whole-corpus exact + near dedup: exact lane first (min id per
+    normalized fingerprint), then drop every exact-survivor that
+    near-duplicates (Jaccard ≥ threshold) ANY smaller-id exact-survivor —
+    kept or dropped. This "suppressed by any earlier doc" rule (rather
+    than connected components) is what makes the operation INCREMENTAL:
+    a doc's fate depends only on docs before it, never on later arrivals,
+    so :func:`dedup_incremental` reproduces it batch by batch."""
+    ex = dedup_exact(documents, text_col)
+    pairs = minhash_near_duplicates(
+        ex, threshold=threshold, n=n, k=k, bands=bands,
+        text_col=text_col, id_col=id_col, hasher=hasher,
+    )
+    dropped = pairs.select(F.col("b").alias(id_col)).distinct()
+    return ex.join(dropped, id_col, "left_anti")
+
+
+def _shingle_hash_array(text_col: str, n: int):
+    """array<long> of xxhash64'd distinct character n-grams — the compact
+    stored form of a document's shingle set (8 bytes/shingle, no text
+    retained in the index). Exact Jaccard over these equals exact Jaccard
+    over the shingles themselves up to 64-bit hash collisions."""
+    norm = F.lower(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+    return F.transform(
+        F.filter(grams, lambda g: F.length(g) > 0), lambda g: F.xxhash64(g)
+    )
+
+
+def dedup_incremental(
+    new_batch: DataFrame,
+    index_dir: str,
+    threshold: float = 0.8,
+    n: int = 5,
+    k: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    seed: int = 42,
+    near: bool = True,
+) -> DataFrame:
+    """Dedup ``new_batch`` against a PERSISTED index and append to it —
+    the shape a real training pipeline needs (batches arrive over time;
+    recomputing the whole corpus per batch is O(total²) wall over a
+    run). Returns the surviving rows of ``new_batch``.
+
+    Index: ONE snapshot-versioned table (``catalog.write_snapshot`` per
+    batch = an atomic append commit; ``read_snapshot_union`` reads the
+    log) holding (doc_id, fp, sig array<long>, sh array<long>) for every
+    exact-survivor ever ingested — near-DROPPED docs included, because
+    under the "suppressed by any earlier doc" rule they still suppress
+    future arrivals. No text is stored: exact suppression anti-joins the
+    32-char fp, candidate blocking equi-joins band buckets recomputed
+    from stored signatures, and the verify is exact Jaccard over stored
+    shingle-hash arrays.
+
+    Equivalence contract (pytest-proven): if id-ordered batches partition
+    a corpus, the union of per-batch survivors equals
+    :func:`dedup_near` (``near=True``) / :func:`dedup_exact`
+    (``near=False``) of the whole corpus.
+
+    Scale shape: per batch, every join is O(batch) on one side — fp
+    anti-join, bucket equi-join (never all-pairs), verify on candidates
+    only. The index side streams from parquet; at 10⁹ stored docs the
+    bucket join shuffles only (band, bucket) matches of the NEW batch's
+    buckets.
+    """
+    from sparktax.catalog import read_snapshot_union, write_snapshot
+    from sparktax.link.minhash import (
+        band_buckets,
+        exact_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle,
+    )
+
+    spark = new_batch.sparkSession
+    index = read_snapshot_union(spark, index_dir)
+
+    # ---- exact lane: min id per fp within the batch, then fp anti-join
+    fp = new_batch.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp")
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    ex = (
+        new_batch.join(fp, id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    if index is not None:
+        ex = ex.join(index.select("fp").distinct(), "fp", "left_anti")
+
+    if not near:
+        survivors = ex
+        store = survivors.select(
+            F.col(id_col).alias("doc_id"),
+            "fp",
+            F.lit(None).cast("array<long>").alias("sig"),
+            F.lit(None).cast("array<long>").alias("sh"),
+        )
+        write_snapshot(store, index_dir, params={"near": False})
+        return survivors.drop("fp")
+
+    # ---- near lane: signatures + shingle-hash arrays for the survivors
+    sh = shingle(ex.select(F.col(id_col).alias("id"), text_col), text_col, "id", n=n)
+    sigs = minhash_signatures(sh, k=k, seed=seed, hasher=hasher)
+    enriched = (
+        ex.withColumn("sh", _shingle_hash_array(text_col, n))
+        .join(sigs.withColumnRenamed("id", id_col), id_col)
+    )
+    # within-batch suppression: any verified pair (a < b) drops b
+    cand_in = lsh_candidate_pairs(sigs, bands=bands, hasher=hasher)
+    fuzzy_pairs = exact_jaccard(sh, cand_in).filter(F.col("jaccard") >= threshold)
+    in_drops = fuzzy_pairs.select(F.col("b").alias(id_col)).distinct()
+    # cross suppression: new buckets ⋈ stored buckets, verify on sh arrays
+    cross_drops = None
+    if index is not None:
+        old = index.filter(F.col("sig").isNotNull())
+        old_b = band_buckets(
+            old.select(F.col("doc_id").alias("id"), "sig"), bands=bands, hasher=hasher
+        ).select(F.col("id").alias("old_id"), "band", "bucket")
+        new_b = band_buckets(
+            enriched.select(F.col(id_col).alias("id"), "sig"),
+            bands=bands,
+            hasher=hasher,
+        ).select(F.col("id").alias("new_id"), "band", "bucket")
+        cand = (
+            new_b.join(old_b, ["band", "bucket"]).select("new_id", "old_id").distinct()
+        )
+        verified = (
+            cand.join(
+                enriched.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")),
+                "new_id",
+            )
+            .join(
+                old.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_old")),
+                "old_id",
+            )
+            .withColumn("n_inter", F.size(F.array_intersect("sh_new", "sh_old")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (F.size("sh_new") + F.size("sh_old") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        cross_drops = verified.select(F.col("new_id").alias(id_col)).distinct()
+
+    # ---- commit the batch's exact-survivors (kept AND near-dropped)
+    store = enriched.select(
+        F.col(id_col).alias("doc_id"), "fp", "sig", "sh"
+    )
+    write_snapshot(store, index_dir, params={"near": True, "threshold": threshold})
+
+    survivors = enriched.join(in_drops, id_col, "left_anti")
+    if cross_drops is not None:
+        survivors = survivors.join(cross_drops, id_col, "left_anti")
+    return survivors.drop("fp", "sig", "sh")
+
+
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — token-level 64-bit SimHash, entirely JVM-side.
 
