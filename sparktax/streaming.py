@@ -12,8 +12,9 @@ pattern.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 from pyspark.sql.streaming import StreamingQuery
 
 from sparktax import schemas
@@ -150,6 +151,103 @@ def stream_dedup_triples(
     return triples.dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx", "subj", "pred", "obj"]
     )
+
+
+def ingest_linked_graph(
+    transcripts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    dictionary: DataFrame | None = None,
+    dedup: bool = True,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming INCREMENTAL KG construction (round-4 verdict stretch):
+    the KG grows per micro-batch with canonical ids stable across batches.
+
+    Per micro-batch, via ``foreachBatch``:
+
+    1. **incremental dedup** — turns exact-dedup against the run's
+       persisted fingerprint index (:func:`sparktax.textops.
+       dedup_incremental`, exact lane): a replayed/redelivered turn, or a
+       turn text already ingested in ANY earlier batch, never re-extracts;
+    2. **extraction** — the Arrow triple kernel on the survivors;
+    3. **exact linking** — subj/obj surfaces rewritten to their canonical
+       dictionary uri (``dictionary``: (surface, canonical, prior);
+       broadcast join on the normalized surface, max-prior tiebreak —
+       the exact lane of the batch linker, which IS batch-stable because
+       the dictionary is fixed and normalization deterministic);
+    4. **hash-encode append** — edges (h, r, t) append to ``edges``;
+       nodes/relations append only rows not already present (anti-join
+       against the accumulated dims). Ids are content-derived
+       (``xxhash64(uri)``, the pipeline's 100 TB encode), so a uri seen
+       in batch 1 and batch 40 encodes identically with NO shared counter
+       or cross-batch coordination — the property that makes this lane
+       embarrassingly incremental.
+
+    Two-batch stream ≡ one-batch stream on the same input is
+    pytest-asserted (tests/test_streaming_linking.py).
+    """
+    import os as _os
+
+    from sparktax.graph.kg import encode_triples
+    from sparktax.link.dictionary import normalize_surface
+    from sparktax.textops import dedup_incremental
+
+    canon = None
+    if dictionary is not None:
+        w = Window.partitionBy("_key").orderBy(F.desc("prior"), F.asc("canonical"))
+        canon = (
+            dictionary.select(
+                normalize_surface(F.col("surface")).alias("_key"),
+                "canonical",
+                "prior",
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "prior")
+        )
+
+    def _rewrite(tri: DataFrame) -> DataFrame:
+        if canon is None:
+            return tri
+        out = tri
+        for c in ("subj", "obj"):
+            out = (
+                out.withColumn("_key", normalize_surface(F.col(c)))
+                .join(broadcast(canon), "_key", "left")
+                .withColumn(c, F.coalesce("canonical", F.col(c)))
+                .drop("_key", "canonical")
+            )
+        return out
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df
+        if dedup:
+            docs = batch.withColumn(
+                "doc_id", F.xxhash64("conv_id", F.lit(":"), "turn_idx")
+            )
+            batch = dedup_incremental(
+                docs, f"{out_dir}/_dedup_index", near=False
+            ).drop("doc_id")
+        triples = _rewrite(extract_triples(batch))
+        t, e, r = encode_triples(triples, method="hash")
+        t.select("h", "r", "t").write.mode("append").parquet(f"{out_dir}/edges")
+        for df, sub in ((e, "nodes"), (r, "relations")):
+            path = f"{out_dir}/{sub}"
+            if _os.path.exists(path):
+                df = df.join(
+                    spark.read.parquet(path).select("id"), "id", "left_anti"
+                )
+            df.write.mode("append").parquet(path)
+
+    writer = (
+        transcripts.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def ingest_to_graph(
