@@ -92,6 +92,14 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
          lambda p: p.count("HashAggregate") >= 2
          and "CartesianProduct" not in p),
     ],
+    "ivf_topk_indexed": [
+        ("probe scans ONLY the probed buckets of the persisted inverted "
+         "lists (bucket pruning: SelectedBucketsCount m < n)",
+         lambda p: (lambda m: bool(m) and int(m.group(1)) < int(m.group(2)))(
+             re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p))),
+        ("probed-cell map broadcast against the bucket-pruned scan",
+         lambda p: "BroadcastHashJoin" in p),
+    ],
     "repetition": [
         ("partial aggregation before each doc-keyed exchange (map-side "
          "combine on (doc, gram) counts)",

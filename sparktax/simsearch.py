@@ -472,6 +472,123 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def materialize_ivf_index(
+    spark,
+    embeddings: DataFrame,
+    dirpath: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "float",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Persist the IVF inverted lists as a table BUCKETED BY ``cell``
+    (vector payload in-row — the classic inverted-list layout), so the
+    per-query probe prunes to the probed cells at SCAN time: a literal
+    ``cell IN (...)`` filter on the bucket column makes Spark read only
+    the matching bucket files (``SelectedBucketsCount: m out of n`` in
+    the plan — asserted by scripts/plan_audit.py and
+    tests/test_ivf_index.py). At 10⁹+ vectors this is the difference
+    between scanning n_probe/n_cells of the corpus and scanning all of
+    it per query batch; the build cost is one assignment pass + one
+    write, amortized over every query batch that follows.
+
+    Idempotent: an existing ``_SUCCESS``-marked table at ``dirpath`` is
+    reused. Returns the catalog-read DataFrame (bucket metadata only
+    survives the catalog — ``spark.read.parquet`` would forget it)."""
+    import hashlib
+    import os as _os
+
+    from sparktax.catalog import read_bucketed, write_bucketed
+
+    n_cells = centroids.shape[0]
+    tag = hashlib.md5(dirpath.encode("utf8")).hexdigest()[:10]
+    name = f"sparktax_ivf_{tag}"
+    done = _os.path.exists(_os.path.join(dirpath, "_SUCCESS"))
+    if not (done and spark.catalog.tableExists(name)):
+        if assign_mode == "md5int":
+            cells = _quantized_cells(embeddings, centroids, 1, id_col, vec_col)
+            rows = cells.join(
+                embeddings.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                ),
+                "id",
+            )
+        elif assign_mode == "float":
+            top1 = _top_cells_udf(centroids, 1)
+            # one narrow pass: id, cell, payload — no join at build time
+            rows = embeddings.select(
+                F.col(id_col).alias("id"),
+                F.element_at(top1(F.col(vec_col)), 1).alias("cell"),
+                F.col(vec_col).alias("vec"),
+            )
+        else:
+            raise ValueError(
+                f"assign_mode must be 'float' or 'md5int', got {assign_mode!r}"
+            )
+        write_bucketed(
+            rows, name, dirpath, "cell",
+            n_buckets=n_buckets or n_cells, sort_by="id",
+        )
+    return read_bucketed(spark, name)
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "float",
+) -> DataFrame:
+    """:func:`ivf_topk` over a persisted :func:`materialize_ivf_index`
+    table — identical results for the same centroids and assignment mode
+    (hash-gate-verified via the ``ivf_topk_indexed`` oracle), but the
+    corpus side is a bucket-pruned scan of the probed cells only.
+
+    The probed-cell set is collected driver-side (≤ n_cells integers) and
+    pushed as a LITERAL ``isin`` so the pruning happens at planning time;
+    the per-query (cell → query) map then broadcasts against the pruned
+    scan. A corpus vector lives in exactly one cell, so no distinct is
+    needed on the candidate pairs."""
+    if assign_mode == "md5int":
+        qcells = _quantized_cells(
+            queries, centroids, n_probe, id_col, vec_col
+        ).withColumnRenamed("id", "query_id")
+    elif assign_mode == "float":
+        probe = _top_cells_udf(centroids, n_probe)
+        qcells = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe(F.col(vec_col))).alias("cell"),
+        )
+    else:
+        raise ValueError(
+            f"assign_mode must be 'float' or 'md5int', got {assign_mode!r}"
+        )
+    probed = sorted(
+        r.cell for r in qcells.select("cell").distinct().collect()
+    )
+    cand = (
+        index.filter(F.col("cell").isin(probed))
+        .join(broadcast(qcells), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("vec").alias("_cv"),
+        )
+    )
+    qv = broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    )
+    pairs = cand.join(qv, "query_id")
+    scored = pair_cosine(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,
