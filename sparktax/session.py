@@ -133,6 +133,13 @@ def get_spark(
         # dictionaries) are small relative to triples at any scale
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", _default_driver_mem())
+        # FAIR across on-demand pools: concurrent driver-thread jobs (the
+        # expressive wave sampler, its next-wave prefetch) share slots
+        # instead of FIFO head-of-line blocking — prefetch jobs run in a
+        # "sparktax_prefetch" pool so speculative scans only use capacity
+        # the current wave's jobs leave idle. Single-job workloads (the
+        # bench, the gate) are unaffected: one pool, one job.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # a crashed Python worker otherwise surfaces as an opaque
