@@ -295,6 +295,25 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (sparktax/textops.py:dedup_incremental):
+    two id-ordered batches through a FRESH persisted snapshot index —
+    batch 2's fingerprints anti-join batch 1's committed index — and the
+    union of survivors must equal whole-corpus exact dedup (oracle:
+    min-id per normalized fingerprint). The near lane's batch-equals-
+    whole-corpus proof lives in tests/test_dedup_incremental.py."""
+    import tempfile
+
+    from sparktax.textops import dedup_incremental, fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="sparktax_incdex_")
+    s1 = dedup_incremental(docs.filter(F.col("doc_id") < 250), idx, near=False)
+    s2 = dedup_incremental(docs.filter(F.col("doc_id") >= 250), idx, near=False)
+    surv = s1.select("doc_id").unionByName(s2.select("doc_id"))
+    return surv.join(fingerprint(docs), "doc_id").select("doc_id", "fp")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact character-3-gram Jaccard pairs ≥ 0.5 among the first 200 docs
     (the oracle-checkable near-dup path; MinHash/LSH is the scale path)."""
@@ -583,6 +602,31 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same IVF probe as ``ivf_topk`` but over PERSISTED inverted
+    lists bucketed by cell (sparktax/simsearch.py:materialize_ivf_index):
+    the probed-cell set pushes down as a literal filter on the bucket
+    column, so the scan reads only matching buckets
+    (``SelectedBucketsCount`` — plan-audited). Same centroids + quantized
+    assignment ⇒ bit-identical results ⇒ the same DuckDB oracle."""
+    import tempfile
+
+    from sparktax.simsearch import (
+        ivf_topk_indexed,
+        materialize_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, 16, rank_on="md5")
+    idx = materialize_ivf_index(
+        spark, emb, tempfile.mkdtemp(prefix="sparktax_ivfidx_"), C,
+        assign_mode="md5int",
+    )
+    queries = emb.orderBy("vec_id").limit(5)
+    return ivf_topk_indexed(idx, queries, C, k=4, n_probe=4, assign_mode="md5int")
+
+
 def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN at ``n_probe == n_cells``: every cell is probed, so the
     candidate set is the whole corpus and the result must be EXACTLY the
@@ -812,6 +856,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_mentions": q_link_mentions,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_groups": q_dedup_groups,
+        "dedup_incremental": q_dedup_incremental,
         "ngram_jaccard": q_ngram_jaccard,
         "winnow_fingerprints": q_winnow_fingerprints,
         "decontaminate": q_decontaminate,
@@ -842,6 +887,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
         "ivf_full_probe": q_ivf_full_probe,
         "media_features": q_media_features,
         "taxonomy_blobs": q_taxonomy_blobs,
@@ -1339,6 +1385,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        # batch-by-batch incremental exact dedup ≡ whole-corpus min-id per
+        # fingerprint when batches are id-ordered (the index anti-join
+        # only ever removes what the global window would)
+        "dedup_incremental": f"""
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, md5({norm}) AS fp,
+                       row_number() OVER (PARTITION BY md5({norm})
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
+        """,
         "ngram_jaccard": """
             WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
                        WHERE doc_id < 200),
@@ -1752,7 +1809,10 @@ def _maybe_ivf_oracle() -> dict[str, str]:
     except ImportError:
         return {}
     try:
-        return {"ivf_topk": _ivf_sql()}
+        sql = _ivf_sql()
+        # the persisted-index probe is the SAME computation (same
+        # centroids, same quantized assignment) over bucketed storage
+        return {"ivf_topk": sql, "ivf_topk_indexed": sql}
     except missing as e:
         import sys
 
