@@ -642,6 +642,39 @@ def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (repo addition — the billion-vector
+    compression lane; sparktax/pq.py). Reproducible mode: codebooks train
+    per subspace on the md5-rank-ordered sample (the oracle builder
+    recomputes them bit-identically with hashlib + the same numpy L2
+    Lloyd), encoding and the ADC lookup sums are ALL-INTEGER
+    (``round(·2²⁰)`` quantization), so the scores — integer partial-dot
+    sums over the compressed codes — hash-match DuckDB exactly.
+    Production default stays ``mode="float"`` (BLAS argmin encode, double
+    ADC; same algorithm, recall pytest-asserted)."""
+    from sparktax.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return pq_topk(emb, queries, k=4, m_sub=8, n_codes=16, mode="md5int")
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the full FAISS-style three-stage funnel (coarse cells →
+    ADC over probed cells' codes → exact rerank of the top-16), every
+    stage engine-reproducible: md5-rank-trained centroids AND codebooks,
+    integer cell assignment, integer ADC shortlist, 6dp-rounded cosine
+    rerank. The one approximate lane a 100 TB corpus actually ships."""
+    from sparktax.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return ivfpq_topk(
+        emb, queries, k=4, n_cells=16, n_probe=4, m_sub=8, n_codes=16,
+        mode="md5int", rerank=16,
+    )
+
+
 def q_uri_shorten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O47/O48: URI prefix shortening + literal normalization."""
     from sparktax.graph.io import normalize_literals, shorten_uri
@@ -889,6 +922,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_topk_indexed": q_ivf_topk_indexed,
         "ivf_full_probe": q_ivf_full_probe,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "media_features": q_media_features,
         "taxonomy_blobs": q_taxonomy_blobs,
     }
@@ -1148,6 +1183,214 @@ def _ivf_sql(
                row_number() OVER (PARTITION BY query_id
                    ORDER BY score DESC, neighbor_id) AS rank
         FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def _pq_codebook_values(
+    m_sub: int = 8, n_codes: int = 16, seed: int = 42
+) -> tuple[str, int]:
+    """Codebooks for the PQ oracles, recomputed OUTSIDE Spark: read the
+    gate parquet, sort by the hashlib md5 rank (bit-identical to the
+    Spark ``md5_rank_expr`` sample order), run the SAME numpy L2 Lloyd
+    per subspace (seed+m), quantize to ``round(c·2²⁰)`` ints, and emit
+    them as a VALUES list ``(sub, subpos, code, cw)``. Returns the
+    VALUES string and sub_dim."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from sparktax.pq import _lloyd_l2
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    rows.sort(
+        key=lambda r: (
+            int(hashlib.md5(f"{r[0]}:{seed}".encode()).hexdigest()[:15], 16),
+            r[0],
+        )
+    )
+    X = np.array([r[1] for r in rows[:4096]], dtype=float)
+    sub_dim = X.shape[1] // m_sub
+    cb = np.stack(
+        [
+            _lloyd_l2(X[:, m * sub_dim : (m + 1) * sub_dim], n_codes, 10, seed + m)
+            for m in range(m_sub)
+        ]
+    )
+    Cq = np.round(cb * (1 << 20)).astype(np.int64)
+    values = ", ".join(
+        f"({m}, {p}, {c}, {int(Cq[m, c, p])})"
+        for m in range(m_sub)
+        for c in range(n_codes)
+        for p in range(sub_dim)
+    )
+    return values, sub_dim
+
+
+def _pq_common_ctes(cb_values: str, sub_dim: int) -> str:
+    """The CTE block shared by both PQ oracles: quantized vector
+    elements keyed by (sub, subpos), integer encode distances → codes,
+    the 5-query set, and the integer ADC lookup table."""
+    return f"""
+        cb(sub, subpos, code, cw) AS (VALUES {cb_values}),
+        pqv AS (
+            SELECT vec_id AS id, ((i - 1) // {sub_dim}) AS sub,
+                   ((i - 1) % {sub_dim}) AS subpos,
+                   round(embedding[i]::DOUBLE * 1048576)::BIGINT AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        ),
+        dist AS (
+            SELECT id, sub, code, sum((q - cw) * (q - cw)) AS d
+            FROM pqv JOIN cb USING (sub, subpos) GROUP BY 1, 2, 3
+        ),
+        codes AS (
+            SELECT id, sub, code FROM (
+                SELECT id, sub, code,
+                       row_number() OVER (PARTITION BY id, sub
+                           ORDER BY d ASC, code ASC) AS rk
+                FROM dist
+            ) WHERE rk = 1
+        ),
+        q5 AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+        lut AS (
+            SELECT pqv.id AS query_id, cb.sub, cb.code,
+                   sum(pqv.q * cb.cw) AS w
+            FROM pqv JOIN cb USING (sub, subpos)
+            WHERE pqv.id IN (SELECT vec_id FROM q5)
+            GROUP BY 1, 2, 3
+        )
+    """
+
+
+def _pq_sql(k: int = 4, m_sub: int = 8, n_codes: int = 16, seed: int = 42) -> str:
+    """DuckDB replica of the md5int ADC full scan (sparktax/pq.py:
+    pq_topk): integer codes + integer LUT sums ⇒ scores and ranks are
+    bit-identical."""
+    cb_values, sub_dim = _pq_codebook_values(m_sub, n_codes, seed)
+    return f"""
+        WITH {_pq_common_ctes(cb_values, sub_dim)},
+        scored AS (
+            SELECT l.query_id, c.id AS neighbor_id, sum(l.w) AS score
+            FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+            WHERE c.id <> l.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+def _ivfpq_sql(
+    k: int = 4,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    rerank: int = 16,
+    seed: int = 42,
+) -> str:
+    """DuckDB replica of the md5int IVF+PQ funnel (sparktax/pq.py:
+    ivfpq_topk): the _ivf_sql coarse-cell machinery (md5-rank-trained
+    centroids, integer assignment) prunes candidates, integer ADC ranks
+    a shortlist of ``rerank``, and the 6dp-rounded cosine reranks —
+    every stage deterministic in both engines."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from sparktax.simsearch import _lloyd
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    rows.sort(
+        key=lambda r: (
+            int(hashlib.md5(f"{r[0]}:{seed}".encode()).hexdigest()[:15], 16),
+            r[0],
+        )
+    )
+    X = np.array([r[1] for r in rows[:4096]], dtype=float)
+    C = _lloyd(X, n_cells, 10, seed)
+    Cq = np.round(C * (1 << 20)).astype(np.int64)
+    w_values = ", ".join(
+        f"({i}, {j}, {int(Cq[i, j])})"
+        for i in range(Cq.shape[0])
+        for j in range(Cq.shape[1])
+    )
+    cb_values, sub_dim = _pq_codebook_values(m_sub, n_codes, seed)
+    return f"""
+        WITH w(cell, pos, w) AS (VALUES {w_values}),
+        qv AS (
+            SELECT vec_id AS id, i - 1 AS pos,
+                   round(embedding[i]::DOUBLE * 1048576)::BIGINT AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        ),
+        dots AS (
+            SELECT id, cell, sum(q * w) AS s
+            FROM qv JOIN w USING (pos) GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT id, cell,
+                   row_number() OVER (PARTITION BY id
+                       ORDER BY s DESC, cell DESC) AS rk
+            FROM dots
+        ),
+        corpus_cells AS (SELECT id AS neighbor_id, cell FROM ranked
+                         WHERE rk = 1),
+        {_pq_common_ctes(cb_values, sub_dim)},
+        probe AS (
+            SELECT id AS query_id, cell FROM ranked
+            WHERE rk <= {n_probe} AND id IN (SELECT vec_id FROM q5)
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, c.neighbor_id
+            FROM probe p JOIN corpus_cells c USING (cell)
+            WHERE p.query_id <> c.neighbor_id
+        ),
+        adc AS (
+            SELECT cand.query_id, cand.neighbor_id, sum(l.w) AS s
+            FROM cand
+            JOIN codes c ON c.id = cand.neighbor_id
+            JOIN lut l ON l.query_id = cand.query_id
+                      AND l.sub = c.sub AND l.code = c.code
+            GROUP BY 1, 2
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY s DESC, neighbor_id) AS ark
+                FROM adc
+            ) WHERE ark <= {rerank}
+        ),
+        rescored AS (
+            SELECT s.query_id, s.neighbor_id,
+                   round(list_cosine_similarity(
+                       qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6)
+                       AS score
+            FROM short s
+            JOIN embeddings qe ON qe.vec_id = s.query_id
+            JOIN embeddings ce ON ce.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rank
+        FROM rescored
         QUALIFY rank <= {k}
     """
 
@@ -1812,9 +2055,14 @@ def _maybe_ivf_oracle() -> dict[str, str]:
         sql = _ivf_sql()
         # the persisted-index probe is the SAME computation (same
         # centroids, same quantized assignment) over bucketed storage
-        return {"ivf_topk": sql, "ivf_topk_indexed": sql}
+        return {
+            "ivf_topk": sql,
+            "ivf_topk_indexed": sql,
+            "pq_topk": _pq_sql(),
+            "ivfpq_topk": _ivfpq_sql(),
+        }
     except missing as e:
         import sys
 
-        print(f"ivf_topk oracle degraded to rows-only: {e!r}", file=sys.stderr)
+        print(f"ivf/pq oracles degraded to rows-only: {e!r}", file=sys.stderr)
         return {}

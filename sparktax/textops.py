@@ -220,6 +220,14 @@ def dedup_incremental(
     spark = new_batch.sparkSession
     index = read_snapshot_union(spark, index_dir)
 
+    # The batch is keyed by id_col: redelivered rows (same id, same
+    # content — an at-least-once source replaying inside ONE batch)
+    # collapse here, so the returned semi-joins below yield exactly one
+    # row per surviving doc. Without this, a within-batch replay slips
+    # through the id-level semi-join and extracts twice (caught by the
+    # streaming two-batch ≡ one-batch pytest).
+    new_batch = new_batch.dropDuplicates([id_col])
+
     # ---- exact lane: min id per fp within the batch, then fp anti-join
     fp = new_batch.select(
         F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp")
