@@ -100,6 +100,23 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
         ("probed-cell map broadcast against the bucket-pruned scan",
          lambda p: "BroadcastHashJoin" in p),
     ],
+    "pq_topk": [
+        ("per-query ADC LUT broadcast against the exploded code table "
+         "(the corpus side carries only (id, code) pairs)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("ADC sums partial-aggregate map-side; no cartesian product",
+         lambda p: p.count("HashAggregate") >= 2
+         and "CartesianProduct" not in p),
+    ],
+    "ivfpq_topk": [
+        ("cell pruning + ADC + rerank all equi-joins, never a cartesian "
+         "product",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("probed-cell map and ADC LUT broadcast; partial aggregation "
+         "before every exchange",
+         lambda p: "BroadcastHashJoin" in p and p.count("HashAggregate") >= 2),
+    ],
     "repetition": [
         ("partial aggregation before each doc-keyed exchange (map-side "
          "combine on (doc, gram) counts)",
