@@ -106,7 +106,7 @@ def _timed(cores: int, out: str, idx: str) -> tuple[int, int, float]:
     r = subprocess.run(
         ["taskset", "-c", cpus, sys.executable, "-c", RUN.format(repo=REPO),
          str(cores), out, idx],
-        check=True, capture_output=True, text=True, timeout=2400,
+        check=True, capture_output=True, text=True, timeout=3600,
     )
     line = [ln for ln in r.stdout.splitlines() if ln.startswith("RESULT")][-1]
     _, n_in, n_out, sec = line.split()
@@ -114,7 +114,7 @@ def _timed(cores: int, out: str, idx: str) -> tuple[int, int, float]:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     out = os.path.join(tempfile.gettempdir(), f"incdedup_scaling_{replicas}")
     idx = f"{out}/index"
     if not os.path.exists(f"{out}/batch1"):

@@ -255,28 +255,147 @@ def snapshot_history(table_dir: str) -> list[dict]:
         return [_json.loads(line) for line in f if line.strip()]
 
 
+def _read_set(table_dir: str, version: int) -> list[int]:
+    """Versions an append-log read of ``version`` includes: walk the
+    commit log's PARENT chain from ``version`` down, stopping
+    (inclusively) at the first compaction commit — its snapshot already
+    holds everything older. Chain lineage, not a version-number range,
+    defines visibility: an increment committed, rolled back, and then
+    superseded by a fresh append is on a dead branch and never read
+    again (a ``range(1, v+1)`` read would resurrect it as soon as a new
+    version number passed it)."""
+    entries = {
+        e["version"]: e for e in snapshot_history(table_dir) if e.get("op") is None
+    }
+    out: list[int] = []
+    v: int | None = version
+    while v is not None and v not in out:
+        out.append(v)
+        e = entries.get(v)
+        if e is None or e.get("params", {}).get("compact"):
+            break
+        v = e.get("parent")
+    return sorted(out)
+
+
 def read_snapshot_union(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame | None:
-    """Read a snapshot dir as an APPEND LOG: the union of every version up
-    to the current (or ``version``) pointer. With one
-    :func:`write_snapshot` per ingested batch this gives Iceberg-append
-    semantics on the parquet fallback — each commit stores ONLY its
-    increment (O(batch), not O(table), per commit), the pointer swap is
-    atomic, and rollback to version v makes later appends invisible
-    without touching their files. Returns None for an empty/uncommitted
-    table (so first-batch callers can skip their anti-joins entirely)."""
+    """Read a snapshot dir as an APPEND LOG: the union of the current (or
+    ``version``) pointer's commit CHAIN, back to the latest compaction
+    (see :func:`compact_snapshots`). With one :func:`write_snapshot` per
+    ingested batch this gives Iceberg-append semantics on the parquet
+    fallback — each commit stores ONLY its increment (O(batch), not
+    O(table), per commit), the pointer swap is atomic, and rollback to
+    version v makes later appends invisible without touching their files
+    (they fall off the chain; a later append branches from v). Returns
+    None for an empty/uncommitted table (so first-batch callers can skip
+    their anti-joins entirely)."""
     v = version if version is not None else current_version(table_dir)
     if v is None:
         return None
     paths = [
         _version_dir(table_dir, i)
-        for i in range(1, v + 1)
+        for i in _read_set(table_dir, v)
         if _os.path.isdir(_version_dir(table_dir, i))
     ]
     if not paths:
         return None
     return spark.read.parquet(*paths)
+
+
+def compact_snapshots(
+    spark: SparkSession,
+    table_dir: str,
+    partition_by: tuple[str, ...] = (),
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Fold the append log into ONE snapshot: commit the current union as
+    the next version, flagged ``compact`` — subsequent
+    :func:`read_snapshot_union` reads start there instead of unioning
+    every historical increment. At one commit per streaming micro-batch
+    the log otherwise grows one tiny parquet dir per batch forever; after
+    thousands of batches the union's scan is all file-listing overhead.
+    Run this as periodic maintenance (single writer, like every other
+    mutation here).
+
+    Crash-safe by construction: the compacted snapshot is a REGULAR
+    commit (parquet dir → log append → atomic pointer swap). A crash at
+    any point leaves the pointer on a version whose union still reads
+    correctly from the old increments — the new base only takes effect
+    once the pointer reaches it. Old versions stay readable (time travel,
+    rollback) until :func:`vacuum_snapshots`.
+
+    The union is coalesced toward ``target_bytes`` per output file
+    (sized from the log's recorded byte counts), fixing the small-files
+    problem in the same pass. Returns the new version; raises if there is
+    nothing to compact."""
+    union = read_snapshot_union(spark, table_dir)
+    if union is None:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshot")
+    v = current_version(table_dir)
+    reads = set(_read_set(table_dir, v))
+    nbytes = sum(
+        e.get("bytes", 0)
+        for e in snapshot_history(table_dir)
+        if e.get("op") is None and e["version"] in reads
+    )
+    n_files = max(1, -(-nbytes // target_bytes))
+    union = (
+        union.repartition(n_files, *partition_by)
+        if partition_by
+        else union.repartition(n_files)
+    )
+    return write_snapshot(
+        union,
+        table_dir,
+        partition_by=partition_by,
+        params={"compact": True, "covers": sorted(reads)},
+    )
+
+
+def vacuum_snapshots(table_dir: str) -> list[int]:
+    """Delete every version dir OUTSIDE the current pointer's read set —
+    increments folded into a compaction (their rows live on in the
+    compacted snapshot) and dead branches left by rollbacks. Current
+    reads never touch them; what is given up is time travel / rollback to
+    those versions (the trade Iceberg's ``expire_snapshots`` makes).
+    Returns the versions removed."""
+    import shutil as _shutil
+
+    v = current_version(table_dir)
+    if v is None:
+        return []
+    keep = set(_read_set(table_dir, v))
+    existing = sorted(
+        int(d[1:])
+        for d in _os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    removed = []
+    for i in existing:
+        if i in keep:
+            continue
+        vdir = _version_dir(table_dir, i)
+        if _os.path.isdir(vdir):
+            _shutil.rmtree(vdir)
+            removed.append(i)
+    if removed:
+        with open(_os.path.join(table_dir, "_snapshots.jsonl"), "a") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "op": "vacuum",
+                        "removed": removed,
+                        "written_at": _time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                        ),
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+    return removed
 
 
 def rollback_snapshot(table_dir: str, version: int) -> None:

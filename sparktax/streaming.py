@@ -159,10 +159,24 @@ def ingest_linked_graph(
     checkpoint_dir: str,
     dictionary: DataFrame | None = None,
     dedup: bool = True,
+    near: bool = False,
+    dedup_params: dict | None = None,
+    compact_every: int | None = None,
     trigger_once: bool = True,
 ) -> StreamingQuery:
     """Streaming INCREMENTAL KG construction (round-4 verdict stretch):
     the KG grows per micro-batch with canonical ids stable across batches.
+
+    ``near=True`` upgrades step 1 to the near-dup lane (MinHash+LSH
+    against the same persisted index; tune via ``dedup_params`` —
+    threshold/n/k/bands of :func:`sparktax.textops.dedup_incremental`):
+    a REWORDED replay of an already-ingested turn is suppressed too.
+    Contract difference, documented rather than hidden: near dedup is
+    first-seen-wins, so WHICH member of a near-dup cluster survives
+    depends on arrival order — different micro-batch splits may extract
+    a different (near-identical) representative. The exact lane has no
+    such regime dependence: exact duplicates share their text, so the
+    surviving copy's edges are identical whichever copy survives.
 
     Per micro-batch, via ``foreachBatch``:
 
@@ -184,11 +198,27 @@ def ingest_linked_graph(
        or cross-batch coordination — the property that makes this lane
        embarrassingly incremental.
 
+    ``compact_every=n`` self-maintains the dedup index: whenever the
+    index's read chain exceeds n increments, the micro-batch folds it
+    with :func:`sparktax.catalog.compact_snapshots` +
+    :func:`~sparktax.catalog.vacuum_snapshots` before returning — a
+    long-running stream's per-batch index scan stays O(compacted + n
+    recent increments) instead of one tiny parquet dir per batch
+    forever. Safe here because foreachBatch is the table's single
+    writer; maintenance is pytest-proven invisible to dedup results
+    (tests/test_catalog_snapshots.py).
+
     Two-batch stream ≡ one-batch stream on the same input is
     pytest-asserted (tests/test_streaming_linking.py).
     """
     import os as _os
 
+    from sparktax.catalog import (
+        _read_set,
+        compact_snapshots,
+        current_version,
+        vacuum_snapshots,
+    )
     from sparktax.graph.kg import encode_triples
     from sparktax.link.dictionary import normalize_surface
     from sparktax.textops import dedup_incremental
@@ -227,8 +257,9 @@ def ingest_linked_graph(
             docs = batch.withColumn(
                 "doc_id", F.xxhash64("conv_id", F.lit(":"), "turn_idx")
             )
+            idx = f"{out_dir}/_dedup_index"
             batch = dedup_incremental(
-                docs, f"{out_dir}/_dedup_index", near=False
+                docs, idx, near=near, **(dedup_params or {})
             ).drop("doc_id")
         triples = _rewrite(extract_triples(batch))
         t, e, r = encode_triples(triples, method="hash")
@@ -240,6 +271,14 @@ def ingest_linked_graph(
                     spark.read.parquet(path).select("id"), "id", "left_anti"
                 )
             df.write.mode("append").parquet(path)
+        if dedup and compact_every is not None:
+            # AFTER every downstream write: the surviving batch's lazy
+            # plan reads this batch's index increment — vacuuming first
+            # would delete files still in its lineage (FAILED_READ_FILE)
+            v = current_version(idx)
+            if v is not None and len(_read_set(idx, v)) > compact_every:
+                compact_snapshots(spark, idx)
+                vacuum_snapshots(idx)
 
     writer = (
         transcripts.writeStream.foreachBatch(handle)

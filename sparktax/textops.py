@@ -208,6 +208,12 @@ def dedup_incremental(
     join (within-batch candidates, cross buckets, verify) reads the
     committed parquet instead of recomputing the lineage (measured 10k
     docs × ~1k shingles × k=128: recompute-per-action was ~3× the wall).
+
+    Maintenance: at one commit per micro-batch the index log grows one
+    small parquet dir per batch — periodically fold it with
+    :func:`sparktax.catalog.compact_snapshots` +
+    :func:`~sparktax.catalog.vacuum_snapshots` (pytest-proven invisible
+    to batch results, tests/test_catalog_snapshots.py).
     """
     from sparktax.catalog import _version_dir, read_snapshot_union, write_snapshot
     from sparktax.link.minhash import (
@@ -684,3 +690,4 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
             "dup_sentence_frac",
         )
     )
+

@@ -80,6 +80,38 @@ def test_two_batch_equals_one_batch(spark, tmp_path, drops, dictionary):
     assert df.filter(F.col("id") != F.xxhash64("uri")).count() == 0
 
 
+def test_near_mode_suppresses_reworded_replay(spark, tmp_path, dictionary):
+    """near=True: a REWORDED replay of an already-ingested turn (same
+    content + one extra statement, char-4-gram Jaccard ≈ 0.8) is
+    suppressed by the LSH lane — its marker triple never reaches the
+    graph. With near=False (exact lane) the reworded copy is a new
+    fingerprint and the marker IS extracted — the control proving the
+    near lane, not something else, did the suppressing."""
+    pdf, gold = synth.gen_transcripts_pdf(n_convs=20, seed=5)
+    base = pdf.loc[pdf["text"].str.len().idxmax()]
+    replay = base.copy()
+    replay["turn_idx"] = 999  # distinct doc identity, near-identical text
+    replay["text"] = base["text"] + " Marker_Entity works_at Marker_Corp."
+    second = pd.DataFrame([replay])
+    params = dict(threshold=0.6, n=4, k=64, bands=16)
+    for near, marker_expected in ((True, False), (False, True)):
+        path = str(tmp_path / f"drops_{near}")
+        synth.transcripts_to_spark(spark, pdf).write.parquet(path)
+        synth.transcripts_to_spark(spark, second).write.mode("append").parquet(path)
+        out = str(tmp_path / f"out_{near}")
+        q = ingest_linked_graph(
+            read_transcript_stream(spark, path, max_files_per_trigger=1),
+            out,
+            checkpoint_dir=str(tmp_path / f"c_{near}"),
+            dictionary=dictionary,
+            near=near,
+            dedup_params=params,
+        )
+        q.awaitTermination(180)
+        uris = {r.uri for r in spark.read.parquet(f"{out}/nodes").collect()}
+        assert ("Marker_Entity" in uris) == marker_expected, near
+
+
 def test_dedup_index_suppresses_cross_batch(spark, tmp_path, drops, dictionary):
     """Restarting the stream over the same data with the same out_dir but
     a FRESH checkpoint re-reads the files; the persisted dedup index still
@@ -90,3 +122,36 @@ def test_dedup_index_suppresses_cross_batch(spark, tmp_path, drops, dictionary):
     n_edges = spark.read.parquet(f"{out}/edges").count()
     _run(spark, path, out, str(tmp_path / "c_fresh"), dictionary, files_per_trigger=10)
     assert spark.read.parquet(f"{out}/edges").count() == n_edges
+
+
+def test_compact_every_self_maintains_index(spark, tmp_path, drops, dictionary):
+    """compact_every=1: a per-file-trigger stream folds the dedup index
+    as it goes — the final graph is identical to the unmaintained run,
+    and the index directory holds ONLY the compacted chain (every folded
+    increment vacuumed), so a long stream's per-batch scan does not
+    accumulate one parquet dir per batch."""
+    import os
+
+    from sparktax.catalog import snapshot_history
+
+    path, pdf, gold = drops
+    plain, kept = str(tmp_path / "plain"), str(tmp_path / "kept")
+    _run(spark, path, plain, str(tmp_path / "cp"), dictionary, files_per_trigger=1)
+    q = ingest_linked_graph(
+        read_transcript_stream(spark, path, max_files_per_trigger=1),
+        kept,
+        checkpoint_dir=str(tmp_path / "ck"),
+        dictionary=dictionary,
+        compact_every=1,
+    )
+    q.awaitTermination(180)
+    assert _tables(spark, plain) == _tables(spark, kept)
+    idx = f"{kept}/_dedup_index"
+    hist = snapshot_history(idx)
+    assert any(
+        e.get("params", {}).get("compact") for e in hist if e.get("op") is None
+    )
+    assert any(e.get("op") == "vacuum" for e in hist)
+    vdirs = [d for d in os.listdir(idx) if d.startswith("v")]
+    # 2 batches → ≤ (1 live compacted base + 1 fresh increment)
+    assert len(vdirs) <= 2, vdirs
