@@ -380,6 +380,41 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pre-training hygiene). Both engines append the SAME
+    deterministic doc_id-derived PII spans (email/phone/ssn/ip) to every
+    document's text, then replay the identical ordered regex chain — the
+    redacted text and per-kind counts must match byte-for-byte."""
+    from sparktax.textops import redact_pii
+
+    d = F.col("doc_id")
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail.example.com ph 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn "),
+            F.lpad((d % 900).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 90).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((d % 9000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (d % 256).cast("string"),
+            F.lit(".0."),
+            ((d * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id", "text", "n_email", "n_ssn", "n_phone", "n_ip"
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-4 cosine neighbors of the first 5 vectors."""
     from sparktax.simsearch import cosine_topk
@@ -897,6 +932,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "repetition": q_repetition,
+        "redact_pii": q_redact_pii,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1521,6 +1557,50 @@ def _lang_sql() -> str:
     """
 
 
+def _redact_pii_sql() -> str:
+    """DuckDB twin of q_redact_pii: the same doc_id-derived PII
+    augmentation, then the same ordered regexp chain (patterns imported
+    from textops.PII_PATTERNS, so engine and oracle can never drift) with
+    each count taken on the text AFTER the earlier patterns ran."""
+    from sparktax.textops import PII_PATTERNS
+
+    aug = """
+        SELECT doc_id,
+               coalesce(text, '')
+               || ' contact user' || doc_id::VARCHAR
+               || '@mail.example.com ph 555-'
+               || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+               || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               || ' ssn ' || lpad((doc_id % 900)::VARCHAR, 3, '0') || '-'
+               || lpad((doc_id % 90)::VARCHAR, 2, '0') || '-'
+               || lpad((doc_id % 9000)::VARCHAR, 4, '0')
+               || ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.'
+               || ((doc_id * 7) % 256)::VARCHAR AS t0
+        FROM documents
+    """
+    ctes, prev = [f"s0 AS ({aug})"], "t0"
+    carried: list[str] = []
+    for i, (kind, pat) in enumerate(PII_PATTERNS, start=1):
+        keep = ", ".join(["doc_id"] + carried)
+        ctes.append(
+            f"""s{i} AS (
+                SELECT {keep},
+                       len(regexp_extract_all({prev}, '{pat}'))::BIGINT
+                           AS n_{kind},
+                       regexp_replace({prev}, '{pat}', '<{kind.upper()}>',
+                                      'g') AS t{i}
+                FROM s{i - 1}
+            )"""
+        )
+        carried.append(f"n_{kind}")
+        prev = f"t{i}"
+    counts = ", ".join(carried)
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT doc_id, {prev} AS text, {counts} FROM s{len(PII_PATTERNS)}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from sparktax.textops import LANG_MARKERS
 
@@ -1723,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "language_id": _lang_sql(),
+        "redact_pii": _redact_pii_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    len(list_filter(string_split(coalesce(text, ''),

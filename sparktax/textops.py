@@ -691,3 +691,54 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
         )
     )
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (pre-training hygiene: Subramani et al. 2023 "Detecting
+# PII in scale"-style regex lane; the standard first pass every public
+# LM corpus pipeline runs before training)
+
+# Patterns restricted to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \b —
+# so the DuckDB oracle replays the redaction bit-for-bit. Order matters:
+# ssn before phone (both digit-dash shapes), email before ip (a host
+# part could contain a dotted quad).
+PII_PATTERNS: "tuple[tuple[str, str], ...]" = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def redact_pii(
+    documents: DataFrame,
+    text_col: str = "text",
+    kinds: "tuple[str, ...] | None" = None,
+    with_counts: bool = True,
+) -> DataFrame:
+    """Replace PII spans in ``text_col`` with ``<KIND>`` sentinels;
+    ``with_counts`` adds one ``n_<kind>`` column per pattern (how many
+    spans each doc shed — the audit trail a compliance pass needs).
+
+    Pure Catalyst (``regexp_replace``/``regexp_count``): a narrow
+    JVM-side map with no shuffle, so it composes into any scan at 100 TB
+    for free. Patterns applied in :data:`PII_PATTERNS` order on the
+    progressively-redacted text (ssn before phone, email before ip —
+    later patterns never see spans an earlier one consumed, in either
+    engine)."""
+    active = [
+        (k, p) for k, p in PII_PATTERNS if kinds is None or k in kinds
+    ]
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    red, counts = txt, []
+    for k, p in active:
+        # count on the progressively-redacted text: a span an earlier
+        # pattern consumed (dotted-quad host inside an email) is not
+        # double-counted by a later one
+        counts.append(F.regexp_count(red, F.lit(p)).cast("long").alias(f"n_{k}"))
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    others = [c for c in documents.columns if c != text_col]
+    return documents.select(
+        *others,
+        red.alias(text_col),
+        *(counts if with_counts else []),
+    )
