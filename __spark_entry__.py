@@ -415,6 +415,18 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-then-chunk sequence layout (GPT-style pretraining batches):
+    every doc's (seq_id, seq_offset, end_seq_id) in the concatenated
+    token stream, computed by a distributed two-level prefix sum that is
+    integer-bit-equal to the single-window global cumsum DuckDB runs."""
+    from sparktax.textops import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_ranges=8
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-4 cosine neighbors of the first 5 vectors."""
     from sparktax.simsearch import cosine_topk
@@ -933,6 +945,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
+        "pack_sequences": q_pack_sequences,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1804,6 +1817,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": _lang_sql(),
         "redact_pii": _redact_pii_sql(),
+        "pack_sequences": """
+            WITH n AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\\s+'), x -> x <> ''))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens AS s
+                FROM n
+            )
+            SELECT doc_id, n_tokens,
+                   (s // 256)::BIGINT AS seq_id,
+                   (s % 256)::BIGINT AS seq_offset,
+                   (CASE WHEN n_tokens > 0 THEN (s + n_tokens - 1) // 256
+                         ELSE s // 256 END)::BIGINT AS end_seq_id
+            FROM c
+        """,
         "token_counts": f"""
             SELECT doc_id,
                    len(list_filter(string_split(coalesce(text, ''),

@@ -77,6 +77,9 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
         ("codegen'd hash aggregate for the dot product (no interpreted "
          "higher-order lambda)",
          lambda p: "HashAggregate" in p and "zip_with" not in p),
+        ("per-query rank<=k compiles to Partial+Final WindowGroupLimit "
+         "(map-side top-k before the query_id exchange)",
+         lambda p: p.count("WindowGroupLimit") >= 2 and "Partial" in p),
     ],
     "lsh_topk": [
         ("integer signature pipeline runs as codegen hash aggregates "
@@ -107,6 +110,11 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
         ("ADC sums partial-aggregate map-side; no cartesian product",
          lambda p: p.count("HashAggregate") >= 2
          and "CartesianProduct" not in p),
+        ("rank<=k compiles to Partial+Final WindowGroupLimit (map-side "
+         "per-partition top-k: only <=k rows per (query, partition) cross "
+         "the exchange — per-query sort is over k*partitions rows, never "
+         "the corpus, so parallelism is not capped by n_queries)",
+         lambda p: p.count("WindowGroupLimit") >= 2 and "Partial" in p),
     ],
     "ivfpq_topk": [
         ("cell pruning + ADC + rerank all equi-joins, never a cartesian "
@@ -141,6 +149,11 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
     "decontaminate": [
         ("probe shingles broadcast; corpus never shuffled by content",
          lambda p: "BroadcastHashJoin" in p),
+    ],
+    "topk_window": [
+        ("rank<=k compiles to Partial+Final WindowGroupLimit (map-side "
+         "top-k before the group exchange)",
+         lambda p: p.count("WindowGroupLimit") >= 2 and "Partial" in p),
     ],
 }
 

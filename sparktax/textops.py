@@ -742,3 +742,95 @@ def redact_pii(
         red.alias(text_col),
         *(counts if with_counts else []),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pack-then-chunk: concatenate docs in a deterministic
+# order and split at token-budget boundaries — the GPT-style pretraining
+# batch layout; a doc may straddle two sequences)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, seq_id, seq_offset, end_seq_id) — assign each
+    document its position in the packed token stream: docs concatenate
+    in ``id_col`` order, sequence ``seq_id`` holds stream positions
+    ``[seq_id·budget, (seq_id+1)·budget)``; ``seq_offset`` is the doc's
+    start within its first sequence and ``end_seq_id`` the sequence its
+    last token lands in (> seq_id ⟺ the doc straddles a boundary).
+
+    Scale shape — a distributed prefix sum, NOT a global window: a
+    ``Window.orderBy`` with no partition key collapses to ONE partition
+    (a single-task sort of the whole corpus). Instead: (1) split the id
+    domain into ``n_ranges`` deterministic ranges (from one min/max
+    agg), (2) cumsum WITHIN each range (per-range window — parallel),
+    (3) cumsum the ``n_ranges`` per-range totals (tiny driver-side
+    list) and broadcast each range's prefix offset back as a literal
+    CASE. Integer arithmetic end-to-end, so the two-level sum is
+    bit-equal to the global cumsum any other engine computes directly.
+
+    Token count = whitespace tokens (swap in a real tokenizer count
+    column upstream if available — pass its table through ``text_col``
+    semantics unchanged)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != "")).cast("long")
+    base = documents.select(F.col(id_col), n.alias("n_tokens"))
+    lo, hi = base.agg(
+        F.min(id_col).cast("long"), F.max(id_col).cast("long")
+    ).first()
+    if lo is None:
+        return base.select(
+            id_col,
+            "n_tokens",
+            F.lit(None).cast("long").alias("seq_id"),
+            F.lit(None).cast("long").alias("seq_offset"),
+            F.lit(None).cast("long").alias("end_seq_id"),
+        )
+    n_ranges = n_ranges or int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    width = max(1, -(-(hi - lo + 1) // n_ranges))
+    rng = ((F.col(id_col).cast("long") - F.lit(lo)) / width).cast("long")
+    ranged = base.withColumn("_rng", rng)
+    w = (
+        Window.partitionBy("_rng")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ranged.withColumn("_cum_in", F.sum("n_tokens").over(w))
+    totals = {
+        r["_rng"]: r["t"]
+        for r in ranged.groupBy("_rng")
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    prefix, acc = [], 0
+    for r in sorted(totals):
+        prefix.append((r, acc))
+        acc += totals[r]
+    pdf = documents.sparkSession.createDataFrame(
+        prefix, "_rng long, _prefix long"
+    )
+    cum_before = (
+        F.col("_prefix") + F.col("_cum_in") - F.col("n_tokens")
+    ).alias("_start")
+    out = within.join(F.broadcast(pdf), "_rng").select(
+        id_col, "n_tokens", cum_before
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        (F.col("_start") / budget).cast("long").alias("seq_id"),
+        (F.col("_start") % budget).alias("seq_offset"),
+        F.when(
+            F.col("n_tokens") > 0,
+            ((F.col("_start") + F.col("n_tokens") - 1) / budget).cast("long"),
+        )
+        .otherwise((F.col("_start") / budget).cast("long"))
+        .alias("end_seq_id"),
+    )
