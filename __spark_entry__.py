@@ -427,6 +427,100 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (RAG / long-doc layout):
+    size-32 windows every 24 tokens. Narrow map + generator — the plan
+    has no Exchange; DuckDB replays it via unnest(range) + list slices."""
+    from sparktax.textops import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, stride=24
+    )
+
+
+# gate mix: deterministic per-source weights {0, 0.75, 1.5, 2.25} — exercises
+# drop (0), fractional down-sample, and integer+fractional up-sample lanes
+_MIX_WEIGHTS = {f"src{i}": (i % 4) * 0.75 for i in range(20)}
+_MIX_SEED = 11
+
+
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted training mixture: floor(w) copies per doc plus a
+    frac(w)-probability extra, decided by the exact 60-bit md5-uniform
+    integer device — bit-replayable in DuckDB (same integer thresholds
+    via mix_weight_params)."""
+    from sparktax.textops import mix_corpora
+
+    return mix_corpora(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, seed=_MIX_SEED
+    ).select("doc_id", "source", "copy_idx")
+
+
+_ORDER_SEED = 7
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-prep chain: domain-weighted mix (copies) →
+    deterministic seeded shuffle into 8 shards. One hashpartitioning
+    exchange on shard_id, per-shard window sort — parallelism scales
+    with n_shards, never a global-order sort."""
+    from sparktax.textops import mix_corpora, training_order
+
+    mixed = mix_corpora(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, seed=_MIX_SEED
+    ).select("doc_id", "source", "copy_idx")
+    return training_order(
+        mixed, n_shards=8, seed=_ORDER_SEED, extra_key_cols=["copy_idx"]
+    ).select("doc_id", "copy_idx", "shard_id", "pos")
+
+
+def _training_order_sql() -> str:
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(doc_id::VARCHAR || ':' || "
+        f"copy_idx::VARCHAR || ':{_ORDER_SEED}'),{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+        WITH mixed AS ({_mix_corpora_sql()}),
+        u AS (SELECT doc_id, copy_idx, ({u60}) AS u60 FROM mixed)
+        SELECT doc_id, copy_idx,
+               (u60 % 8)::BIGINT AS shard_id,
+               (row_number() OVER (PARTITION BY u60 % 8
+                   ORDER BY u60, doc_id, copy_idx) - 1)::BIGINT AS pos
+        FROM u
+    """
+
+
+def _mix_corpora_sql() -> str:
+    from sparktax.textops import mix_weight_params
+
+    vals = ", ".join(
+        f"('{d}', {b}, {t})"
+        for d, (b, t) in (
+            (d, mix_weight_params(w)) for d, w in sorted(_MIX_WEIGHTS.items())
+        )
+    )
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(doc_id::VARCHAR || "
+        f"':{_MIX_SEED}'),{j + 1},1))::BIGINT * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+        WITH w(dom, base, thresh) AS (VALUES {vals}),
+        u AS (SELECT doc_id, source, ({u60}) AS u60 FROM documents),
+        j AS (
+            SELECT u.doc_id, u.source,
+                   w.base + CASE WHEN u.u60 < w.thresh THEN 1 ELSE 0 END
+                       AS n_copies
+            FROM u JOIN w ON u.source = w.dom
+        )
+        SELECT doc_id, source,
+               unnest(range(1, n_copies + 1))::BIGINT AS copy_idx
+        FROM j WHERE n_copies > 0
+    """
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-4 cosine neighbors of the first 5 vectors."""
     from sparktax.simsearch import cosine_topk
@@ -946,6 +1040,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
+        "mix_corpora": q_mix_corpora,
+        "training_order": q_training_order,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1838,6 +1935,25 @@ def oracle_sql() -> dict[str, str]:
                          ELSE s // 256 END)::BIGINT AS end_seq_id
             FROM c
         """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''),
+                           '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS cs
+                FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   (cs // 24)::BIGINT AS chunk_idx,
+                   cs::BIGINT AS chunk_start,
+                   len(toks[cs + 1 : cs + 32])::BIGINT AS n_chunk_tokens,
+                   array_to_string(toks[cs + 1 : cs + 32], ' ') AS chunk_text
+            FROM s
+        """,
+        "mix_corpora": _mix_corpora_sql(),
+        "training_order": _training_order_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    len(list_filter(string_split(coalesce(text, ''),

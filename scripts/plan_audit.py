@@ -155,6 +155,36 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
          "top-k before the group exchange)",
          lambda p: p.count("WindowGroupLimit") >= 2 and "Partial" in p),
     ],
+    "chunk_documents": [
+        ("narrow map + generator only: NO Exchange of any kind",
+         lambda p: "Exchange" not in p),
+        ("window starts expand via codegen'd Generate (posexplode), "
+         "not a Python stage",
+         lambda p: "Generate" in p and "Python" not in p),
+    ],
+    "mix_corpora": [
+        ("weight table broadcast; the corpus is never shuffled",
+         lambda p: "BroadcastHashJoin" in p
+         and "Exchange hashpartitioning" not in p),
+        ("copy expansion is a codegen'd Generate (explode), no Python",
+         lambda p: "Generate" in p and "Python" not in p),
+    ],
+    "training_order": [
+        ("exactly ONE corpus shuffle (hashpartitioning on shard_id); "
+         "per-shard window sort, never a global-order SinglePartition",
+         lambda p: p.count("Exchange hashpartitioning") == 1
+         and "Exchange SinglePartition" not in p),
+        ("mix weights broadcast; copy expansion codegen'd (no Python)",
+         lambda p: "BroadcastHashJoin" in p and "Python" not in p),
+    ],
+    "pack_sequences": [
+        ("distributed prefix sum: per-range window, never a global-order "
+         "single-partition sort",
+         lambda p: "Exchange SinglePartition" not in p and "Window" in p),
+        ("range prefixes broadcast back (tiny table), corpus side not "
+         "re-shuffled for the join",
+         lambda p: "BroadcastHashJoin" in p),
+    ],
 }
 
 

@@ -834,3 +834,184 @@ def pack_sequences(
         .otherwise((F.col("_start") / budget).cast("long"))
         .alias("end_seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (token windows with stride — RAG / long-doc pretraining
+# layout: each doc becomes ceil(n_tokens / stride) overlapping windows)
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_size: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text) —
+    split each document's whitespace-token stream into windows of
+    ``chunk_size`` tokens starting every ``stride`` tokens (default:
+    non-overlapping, ``stride = chunk_size``). The last window may be
+    short; zero-token documents emit no chunks.
+
+    Scale shape: one narrow map + generator (``posexplode`` over a
+    per-row ``sequence``) — zero shuffles, whole-stage codegen
+    end-to-end, filter/pruning pushes through to the scan. Output
+    volume is the only cost: overlap multiplies the corpus by
+    ``chunk_size / stride``; pick stride accordingly at 100 TB."""
+    if chunk_size <= 0 or (stride is not None and stride <= 0):
+        raise ValueError("chunk_size and stride must be positive")
+    stride = stride or chunk_size
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(txt, r"\s+"), lambda t: t != "")
+    t = documents.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    ex = t.select(
+        id_col,
+        "_toks",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    sl = F.slice(F.col("_toks"), F.col("chunk_start") + 1, F.lit(chunk_size))
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(sl).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing (deterministic domain-weighted up/down-sampling — the
+# training-mix layout: weight 0.25 keeps a quarter of a domain, weight 2.5
+# repeats every doc twice and half of them a third time)
+
+
+def mix_weight_params(weight: float) -> tuple[int, int]:
+    """(base_copies, extra_threshold) for a mix weight: every doc gets
+    ``floor(w)`` copies plus one more iff its 60-bit md5 uniform draw is
+    below ``floor(frac(w)·2⁶⁰)``. Shared by the Spark operator and any
+    oracle replica so both compare against the identical integer."""
+    if weight < 0:
+        raise ValueError(f"mix weight must be >= 0, got {weight}")
+    base = int(weight)
+    return base, int((weight - base) * (16**15))
+
+
+def mix_corpora(
+    documents: DataFrame,
+    weights: dict[str, float],
+    seed: int = 0,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Domain-weighted training mixture: emit each document
+    ``floor(w)`` times plus one extra copy with probability ``frac(w)``
+    where ``w = weights[domain]`` (domains absent from ``weights`` get
+    ``default_weight``; weight 0 drops the domain). Output = the input
+    columns plus ``copy_idx`` (1..n_copies — the "epoch" a copy belongs
+    to, so downstream shuffles can interleave repeats).
+
+    Determinism: the Bernoulli draw is the exact 60-bit integer
+    ``conv(substr(md5(id || ':' || seed), 1, 15), 16, 10)`` compared
+    against ``floor(frac(w)·2⁶⁰)`` (:func:`mix_weight_params`) —
+    all-integer, so any engine replays it bit-identically (the same
+    md5-uniform device as ``KnowledgeGraph.sample_instances``).
+
+    Scale shape: the weight table is a broadcast join (≤ thousands of
+    domains); the corpus is never shuffled — one narrow map decides
+    n_copies, a generator emits the copies. Upsampling multiplies bytes
+    by Σw·share, which is the intended output size of a mix job."""
+    spark = documents.sparkSession
+    rows = [(d, *mix_weight_params(w)) for d, w in sorted(weights.items())]
+    wdf = spark.createDataFrame(rows, "_dom string, _base long, _thresh long")
+    dbase, dthresh = mix_weight_params(default_weight)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    joined = documents.join(
+        F.broadcast(wdf), documents[domain_col] == wdf["_dom"], "left"
+    )
+    n_copies = F.coalesce(F.col("_base"), F.lit(dbase)) + F.when(
+        u < F.coalesce(F.col("_thresh"), F.lit(dthresh)), 1
+    ).otherwise(0)
+    return (
+        joined.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") > 0)
+        .select(
+            *documents.columns,
+            F.explode(F.sequence(F.lit(1), F.col("_n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training order (deterministic seeded global shuffle into shards — the step
+# between mixing and packing: a training run reads shard s sequentially, so
+# the (shard_id, pos) assignment IS the epoch's example order)
+
+
+def training_order(
+    documents: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    extra_key_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Input columns + (shard_id, pos) — a deterministic pseudorandom
+    permutation of the corpus laid out as ``n_shards`` shards read
+    sequentially: shard = u mod n_shards, pos = rank of u within the
+    shard, where u is the exact 60-bit md5-uniform integer of
+    ``(id [, extra keys], seed)``. Pass ``extra_key_cols=["copy_idx"]``
+    on :func:`mix_corpora` output so repeated copies of a doc land in
+    independent positions.
+
+    Scale shape: ONE shuffle (hashpartitioning on shard_id) followed by
+    a per-shard window sort — parallelism = n_shards, so size shards to
+    the cluster (thousands at 100 TB), never 1. No global-order window,
+    no driver collect; all-integer keys make the order bit-reproducible
+    across engines and runs."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    keys = [id_col, *(extra_key_cols or [])]
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[F.col(k).cast("string") for k in keys],
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    tagged = documents.withColumn("_u", u).withColumn(
+        "_shard", (F.col("_u") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("_shard").orderBy(
+        "_u", *[F.col(k) for k in keys]
+    )
+    return tagged.select(
+        *documents.columns,
+        F.col("_shard").alias("shard_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
