@@ -456,6 +456,41 @@ def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "copy_idx")
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = 13
+
+
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: one 60-bit md5-uniform
+    draw bucketed by exact cumulative integer thresholds — a pure
+    narrow map (zero shuffles), content-stable as the corpus grows."""
+    from sparktax.textops import split_corpus
+
+    return split_corpus(
+        _t(spark, sf_dir, "documents"), _SPLIT_FRACTIONS, seed=_SPLIT_SEED
+    ).select("doc_id", "source", "split")
+
+
+def _split_corpus_sql() -> str:
+    from sparktax.textops import split_thresholds
+
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(doc_id::VARCHAR || "
+        f"':{_SPLIT_SEED}'),{j + 1},1))::BIGINT * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    ths = split_thresholds(_SPLIT_FRACTIONS)
+    case = (
+        "CASE "
+        + " ".join(f"WHEN u60 < {t} THEN '{n}'" for n, t in ths[:-1])
+        + f" ELSE '{ths[-1][0]}' END"
+    )
+    return f"""
+        WITH u AS (SELECT doc_id, source, ({u60}) AS u60 FROM documents)
+        SELECT doc_id, source, {case} AS split FROM u
+    """
+
+
 _ORDER_SEED = 7
 
 
@@ -1043,6 +1078,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "mix_corpora": q_mix_corpora,
         "training_order": q_training_order,
+        "split_corpus": q_split_corpus,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1954,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mix_corpora": _mix_corpora_sql(),
         "training_order": _training_order_sql(),
+        "split_corpus": _split_corpus_sql(),
         "token_counts": f"""
             SELECT doc_id,
                    len(list_filter(string_split(coalesce(text, ''),

@@ -169,6 +169,11 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
         ("copy expansion is a codegen'd Generate (explode), no Python",
          lambda p: "Generate" in p and "Python" not in p),
     ],
+    "split_corpus": [
+        ("pure narrow map: one codegen'd CASE over the scan, zero "
+         "Exchange, zero joins",
+         lambda p: "Exchange" not in p and "Join" not in p),
+    ],
     "training_order": [
         ("exactly ONE corpus shuffle (hashpartitioning on shard_id); "
          "per-shard window sort, never a global-order SinglePartition",

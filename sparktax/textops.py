@@ -756,6 +756,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_ranges: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """(doc_id, n_tokens, seq_id, seq_offset, end_seq_id) — assign each
     document its position in the packed token stream: docs concatenate
@@ -776,10 +777,21 @@ def pack_sequences(
 
     Token count = whitespace tokens (swap in a real tokenizer count
     column upstream if available — pass its table through ``text_col``
-    semantics unchanged)."""
+    semantics unchanged).
+
+    ``materialize`` (default True): the operator needs THREE passes over
+    ``(id, n_tokens)`` — min/max of the id domain, per-range totals, and
+    the final read under the window. Everything derives from that tiny
+    two-long projection, so it is ``localCheckpoint``-ed eagerly and the
+    (possibly expensive — a mix→shuffle chain, a tokenizer) upstream
+    plan executes exactly ONCE instead of three times. Set False only
+    when the input is already a cheap materialized scan and you'd
+    rather re-read it than spend 16 bytes/row of block-manager space."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     n = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != "")).cast("long")
     base = documents.select(F.col(id_col), n.alias("n_tokens"))
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     lo, hi = base.agg(
         F.min(id_col).cast("long"), F.max(id_col).cast("long")
     ).first()
@@ -1015,3 +1027,76 @@ def training_order(
         F.col("_shard").alias("shard_id"),
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus splitting (deterministic train/val/test assignment — disjoint and
+# exhaustive by construction: one uniform draw bucketed by cumulative
+# fraction thresholds)
+
+
+def split_corpus(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Input columns + ``split_col`` — assign every row to exactly one
+    named split with probability ≈ its fraction (fractions must sum to
+    1 within 1e-9). The draw is the exact 60-bit md5-uniform integer of
+    ``(id, seed)`` bucketed by cumulative integer thresholds
+    ``floor(Σf·2⁶⁰)``, so the assignment is a pure narrow map —
+    content-stable, bit-replayable in any engine, and consistent for a
+    given id across reruns and engines (new rows never reshuffle old
+    assignments, the property that keeps eval sets uncontaminated as
+    the corpus grows).
+
+    Scale shape: zero shuffles, zero joins — one codegen'd CASE over
+    the scan; split names are ordered lexicographically so the
+    threshold layout is deterministic regardless of dict order."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    expr, acc = None, 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        thresh = int(acc * (16**15))
+        cond = u < F.lit(thresh)
+        expr = (
+            F.when(cond, name)
+            if expr is None
+            else expr.when(cond, name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return documents.select(*documents.columns, expr.alias(split_col))
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, cumulative 60-bit threshold) pairs in the exact layout
+    :func:`split_corpus` compiles — exported so oracle replicas compare
+    against the identical integers."""
+    acc, out = 0.0, []
+    for name in sorted(fractions):
+        acc += fractions[name]
+        out.append((name, int(acc * (16**15))))
+    return out

@@ -292,6 +292,81 @@ def test_training_order_rejects_bad_shards(spark):
         training_order(_mix_docs(spark, 5), n_shards=0)
 
 
+# ---------------------------------------------------------------------------
+# split_corpus
+
+
+def test_split_matches_duckdb_and_partitions(spark):
+    from sparktax.textops import split_corpus, split_thresholds
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = _mix_docs(spark, 400)
+    got = (
+        split_corpus(df, fr, seed=13)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # exhaustive + disjoint by construction; fractions approximately hold
+    assert len(got) == 400 and set(got.split) == set(fr)
+    counts = got.split.value_counts()
+    assert counts["train"] > 250 and counts["val"] < 80
+    # DuckDB replay with the identical integer thresholds
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(doc_id::VARCHAR || ':13'),"
+        f"{j + 1},1))::BIGINT * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    ths = split_thresholds(fr)
+    case = (
+        "CASE "
+        + " ".join(f"WHEN u60 < {t} THEN '{n}'" for n, t in ths[:-1])
+        + f" ELSE '{ths[-1][0]}' END"
+    )
+    want = con.execute(
+        f"""
+        WITH u AS (SELECT doc_id, ({u60}) AS u60 FROM docs)
+        SELECT doc_id, {case} AS split FROM u ORDER BY doc_id
+        """
+    ).df()
+    assert got.split.tolist() == want.split.tolist()
+
+
+def test_split_assignment_stable_under_growth(spark):
+    """New rows never reshuffle old assignments — the property that
+    keeps a held-out set uncontaminated as the corpus grows."""
+    from sparktax.textops import split_corpus
+
+    fr = {"train": 0.9, "heldout": 0.1}
+    small = split_corpus(_mix_docs(spark, 100), fr, seed=5).toPandas()
+    big = split_corpus(_mix_docs(spark, 300), fr, seed=5).toPandas()
+    merged = small.merge(big, on="doc_id", suffixes=("_s", "_b"))
+    assert (merged.split_s == merged.split_b).all()
+
+
+def test_split_validation_and_plan(spark):
+    import pytest
+
+    from sparktax.textops import split_corpus
+
+    df = _mix_docs(spark, 5)
+    with pytest.raises(ValueError):
+        split_corpus(df, {})
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_corpus(df, {"a": 1.5, "b": -0.5})
+    plan = (
+        split_corpus(df, {"a": 0.5, "b": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure narrow map
+
+
 def test_mix_weight_params_exact():
     assert mix_weight_params(0.0) == (0, 0)
     assert mix_weight_params(3.0) == (3, 0)
