@@ -757,6 +757,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_ranges: int | None = None,
     materialize: bool = True,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, seq_id, seq_offset, end_seq_id) — assign each
     document its position in the packed token stream: docs concatenate
@@ -786,10 +787,15 @@ def pack_sequences(
     (possibly expensive — a mix→shuffle chain, a tokenizer) upstream
     plan executes exactly ONCE instead of three times. Set False only
     when the input is already a cheap materialized scan and you'd
-    rather re-read it than spend 16 bytes/row of block-manager space."""
+    rather re-read it than spend 16 bytes/row of block-manager space.
+
+    ``carry_cols``: extra input columns passed through to the output
+    unchanged (rides the materialized base — NO re-execution of the
+    upstream plan and no join-back, which would run it again)."""
+    carry = carry_cols or []
     txt = F.coalesce(F.col(text_col), F.lit(""))
     n = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != "")).cast("long")
-    base = documents.select(F.col(id_col), n.alias("n_tokens"))
+    base = documents.select(F.col(id_col), *carry, n.alias("n_tokens"))
     if materialize:
         base = base.localCheckpoint(eager=True)
     lo, hi = base.agg(
@@ -798,6 +804,7 @@ def pack_sequences(
     if lo is None:
         return base.select(
             id_col,
+            *carry,
             "n_tokens",
             F.lit(None).cast("long").alias("seq_id"),
             F.lit(None).cast("long").alias("seq_offset"),
@@ -832,10 +839,11 @@ def pack_sequences(
         F.col("_prefix") + F.col("_cum_in") - F.col("n_tokens")
     ).alias("_start")
     out = within.join(F.broadcast(pdf), "_rng").select(
-        id_col, "n_tokens", cum_before
+        id_col, *carry, "n_tokens", cum_before
     )
     return out.select(
         id_col,
+        *carry,
         "n_tokens",
         (F.col("_start") / budget).cast("long").alias("seq_id"),
         (F.col("_start") % budget).alias("seq_offset"),
@@ -1089,6 +1097,69 @@ def split_corpus(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
     return documents.select(*documents.columns, expr.alias(split_col))
+
+
+def prepare_training_corpus(
+    documents: DataFrame,
+    weights: dict[str, float],
+    n_shards: int,
+    budget: int,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """One-call training-prep chain: :func:`mix_corpora` (domain-weighted
+    up/down-sampling, seed) → :func:`training_order` (seed+1; copies get
+    independent slots) → :func:`pack_sequences` over the shard-ordered
+    stream (global position = shard·2⁴⁰ + pos, so sequences fill shard
+    by shard in read order). Returns one row per (doc, copy):
+    (doc_id, copy_idx, shard_id, pos, n_tokens, seq_id, seq_offset,
+    end_seq_id).
+
+    Every stage is deterministic (md5-uniform integer devices), so the
+    whole layout is bit-reproducible for a given (corpus, weights,
+    n_shards, budget, seed). Scale: one corpus shuffle (the shard
+    exchange) + per-shard sorts + the two-level pack prefix sum; the
+    shard key is hash-uniform by construction, so domain skew in the
+    input CANNOT skew the shuffle."""
+    mixed = mix_corpora(
+        documents,
+        weights,
+        seed=seed,
+        domain_col=domain_col,
+        id_col=id_col,
+        default_weight=default_weight,
+    )
+    ordered = training_order(
+        mixed,
+        n_shards=n_shards,
+        seed=seed + 1,
+        id_col=id_col,
+        extra_key_cols=["copy_idx"],
+    )
+    gid = (F.col("shard_id") * F.lit(1 << 40) + F.col("pos")).alias("_gid")
+    stream = ordered.select(
+        gid, id_col, "copy_idx", "shard_id", "pos", text_col
+    )
+    packed = pack_sequences(
+        stream,
+        budget=budget,
+        text_col=text_col,
+        id_col="_gid",
+        carry_cols=[id_col, "copy_idx", "shard_id", "pos"],
+    )
+    return packed.select(
+        id_col,
+        "copy_idx",
+        "shard_id",
+        "pos",
+        "n_tokens",
+        "seq_id",
+        "seq_offset",
+        "end_seq_id",
+    )
 
 
 def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:

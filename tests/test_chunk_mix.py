@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+from pyspark.sql import functions as F
 
 from sparktax.textops import chunk_documents, mix_corpora, mix_weight_params
 
@@ -290,6 +291,55 @@ def test_training_order_rejects_bad_shards(spark):
 
     with pytest.raises(ValueError):
         training_order(_mix_docs(spark, 5), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# prepare_training_corpus (the one-call chain) + pack carry_cols
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    from sparktax.textops import (
+        mix_corpora,
+        pack_sequences,
+        prepare_training_corpus,
+        training_order,
+    )
+
+    df = _mix_docs(spark, 120)
+    weights = {f"src{i}": 1.0 + (i % 2) * 0.5 for i in range(4)}
+    out = prepare_training_corpus(
+        df, weights, n_shards=4, budget=64, seed=5
+    ).toPandas()
+    # equals the hand-wired chain (carry_cols path vs explicit recompute)
+    mixed = mix_corpora(df, weights, seed=5)
+    ordered = training_order(
+        mixed, n_shards=4, seed=6, extra_key_cols=["copy_idx"]
+    ).toPandas()
+    assert len(out) == len(ordered)
+    # stream contiguity within the gid order (shard-major read order)
+    out = out.sort_values(["shard_id", "pos"]).reset_index(drop=True)
+    pos = 0
+    for r in out.itertuples():
+        assert r.seq_id * 64 + r.seq_offset == pos
+        pos += r.n_tokens
+    # passthrough identity: (doc_id, copy_idx, shard_id, pos) match the
+    # ordered stage exactly
+    a = out[["doc_id", "copy_idx", "shard_id", "pos"]].sort_values(
+        ["doc_id", "copy_idx"]
+    )
+    b = ordered[["doc_id", "copy_idx", "shard_id", "pos"]].sort_values(
+        ["doc_id", "copy_idx"]
+    )
+    assert a.values.tolist() == b.values.tolist()
+    # carry_cols on its own: extra column rides through unchanged
+    p = pack_sequences(
+        _docs(spark, [(0, "a b"), (1, "c")]).withColumn(
+            "tag", F.col("doc_id") * 10
+        ),
+        budget=2,
+        carry_cols=["tag"],
+    ).toPandas()
+    assert p.tag.tolist() == [0, 10]
 
 
 # ---------------------------------------------------------------------------
