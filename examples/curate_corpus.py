@@ -25,8 +25,10 @@ from sparktax.textops import (  # noqa: E402
     dedup_exact,
     language_id,
     minhash_near_duplicates,
+    prepare_training_corpus,
     quality_score,
     repetition_signals,
+    split_corpus,
 )
 
 
@@ -70,8 +72,28 @@ def main() -> None:
     docs = decontaminated(docs, probes, n=8)
     n4 = docs.count()
 
+    # 5. training layout: held-out split, then mix → deterministic
+    # shuffle → packed sequences for the train partition (one corpus
+    # shuffle; every assignment is a seeded integer device, so the
+    # whole layout is bit-reproducible)
+    labeled = split_corpus(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01}, seed=29
+    )
+    train = labeled.filter(F.col("split") == "train").drop("split")
+    packed = prepare_training_corpus(
+        train,
+        weights={f"src{i}": 1.0 for i in range(20)},
+        n_shards=8,
+        budget=512,
+        seed=29,
+    )
+    n5, n_seq = packed.count(), packed.agg(
+        F.countDistinct("seq_id")
+    ).first()[0]
+
     print(f"raw={n0}  exact-dedup={n1}  near-dup={n2}  "
-          f"quality/lang/repetition={n3}  decontaminated={n4}")
+          f"quality/lang/repetition={n3}  decontaminated={n4}  "
+          f"train-docs-packed={n5}  sequences={n_seq}")
     spark.stop()
 
 
