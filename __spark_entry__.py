@@ -1001,6 +1001,19 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023) in the md5int mode:
+    md5-rank-trained centroids + all-integer quantized cell assignment make
+    the cells engine-reproducible, and the within-cell cosine suppression
+    reranks on the 6dp-rounded score — kept set bit-identical in DuckDB."""
+    from sparktax.simsearch import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.2, n_cells=8, assign_mode="md5int"
+    ).select(F.col("id").alias("vec_id"), "cell")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal lane (rows-only: binary payloads aren't SQL-expressible):
     REAL numpy decode of PPM/WAV fixtures → 16-dim features."""
@@ -1082,6 +1095,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "agg_pricing": q_agg_pricing,
         "topk_window": q_topk_window,
         "join_dims": q_join_dims,
@@ -1281,18 +1295,11 @@ _MEDIA_GOLD_SQL = """
 """
 
 
-def _ivf_sql(
-    k: int = 4, n_cells: int = 16, n_probe: int = 4, seed: int = 42
-) -> str:
-    """DuckDB replica of the md5int IVF probe. The centroids are
-    recomputed HERE, outside Spark: read the gate's parquet directly, sort
-    by the hashlib md5 rank (bit-identical to the Spark-side
-    ``md5_rank_expr``), run the SAME numpy ``_lloyd``, quantize to
-    ``round(c·2²⁰)`` ints, and embed them as literal VALUES. Assignment is
-    then all-integer in both engines; rerank is the proven rounded-cosine
-    pattern. The gate runs at sf0.01 (driver contract);
-    ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides for local checks at other
-    scales."""
+def _md5int_centroid_values(n_cells: int, seed: int) -> str:
+    """``(cell, pos, w)`` VALUES rows for the md5int centroid oracles:
+    read the gate parquet directly (outside Spark), sort by the hashlib
+    md5 rank (bit-identical to the Spark-side ``md5_rank_expr``), run the
+    SAME numpy ``_lloyd``, quantize to ``round(c·2²⁰)`` ints."""
     import hashlib
     import os
 
@@ -1317,11 +1324,73 @@ def _ivf_sql(
     X = np.array([r[1] for r in rows[:4096]], dtype=float)
     C = _lloyd(X, n_cells, 10, seed)
     Cq = np.round(C * (1 << 20)).astype(np.int64)
-    w_values = ", ".join(
+    return ", ".join(
         f"({i}, {j}, {int(Cq[i, j])})"
         for i in range(Cq.shape[0])
         for j in range(Cq.shape[1])
     )
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.2, n_cells: int = 8, seed: int = 42
+) -> str:
+    """DuckDB replica of md5int SemDeDup: same quantized cell assignment
+    as the IVF oracle (rk=1 cell per vector), within-cell pairs a<b scored
+    by the 6dp-rounded cosine, b dropped when any smaller-id same-cell
+    vector scores ≥ threshold — kept (vec_id, cell) bit-identical."""
+    w_values = _md5int_centroid_values(n_cells, seed)
+    return f"""
+        WITH w(cell, pos, w) AS (VALUES {w_values}),
+        qv AS (
+            SELECT vec_id AS id, i - 1 AS pos,
+                   round(embedding[i]::DOUBLE * 1048576)::BIGINT AS q
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+        ),
+        dots AS (
+            SELECT id, cell, sum(q * w) AS s
+            FROM qv JOIN w USING (pos) GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT id, cell,
+                   row_number() OVER (PARTITION BY id
+                       ORDER BY s DESC, cell DESC) AS rk
+            FROM dots
+        ),
+        cells AS (SELECT id, cell FROM ranked WHERE rk = 1),
+        pairs AS (
+            SELECT x.id AS a, y.id AS b
+            FROM cells x JOIN cells y USING (cell)
+            WHERE x.id < y.id
+        ),
+        scored AS (
+            SELECT pairs.a, pairs.b,
+                   round(list_cosine_similarity(
+                       ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)
+                       AS score
+            FROM pairs
+            JOIN embeddings ea ON ea.vec_id = pairs.a
+            JOIN embeddings eb ON eb.vec_id = pairs.b
+        ),
+        dropped AS (SELECT DISTINCT b FROM scored WHERE score >= {threshold})
+        SELECT id AS vec_id, cell FROM cells
+        WHERE id NOT IN (SELECT b FROM dropped)
+    """
+
+
+def _ivf_sql(
+    k: int = 4, n_cells: int = 16, n_probe: int = 4, seed: int = 42
+) -> str:
+    """DuckDB replica of the md5int IVF probe. The centroids are
+    recomputed HERE, outside Spark: read the gate's parquet directly, sort
+    by the hashlib md5 rank (bit-identical to the Spark-side
+    ``md5_rank_expr``), run the SAME numpy ``_lloyd``, quantize to
+    ``round(c·2²⁰)`` ints, and embed them as literal VALUES. Assignment is
+    then all-integer in both engines; rerank is the proven rounded-cosine
+    pattern. The gate runs at sf0.01 (driver contract);
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` overrides for local checks at other
+    scales."""
+    w_values = _md5int_centroid_values(n_cells, seed)
     return f"""
         WITH w(cell, pos, w) AS (VALUES {w_values}),
         qv AS (
@@ -2328,6 +2397,7 @@ def _maybe_ivf_oracle() -> dict[str, str]:
             "ivf_topk_indexed": sql,
             "pq_topk": _pq_sql(),
             "ivfpq_topk": _ivfpq_sql(),
+            "semantic_dedup": _semantic_dedup_sql(),
         }
     except missing as e:
         import sys

@@ -703,3 +703,74 @@ def centroid_per_label(
             F.sqrt(F.col("_ss") / F.col("_n")).alias("radius"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    assign_mode: str = "float",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into ``n_cells`` k-means cells,
+    then within each cell drop every vector whose cosine to ANY smaller-id
+    same-cell vector is ≥ ``threshold``. Returns the KEPT rows as
+    ``(id, cell)``.
+
+    The smaller-id suppression rule (rather than the paper's
+    keep-farthest-from-centroid) matches :func:`sparktax.textops.dedup_near`:
+    a vector's fate depends only on vectors ordered before it, which keeps
+    the operation incremental-friendly and deterministic across engines.
+
+    The 100 TB shape: the only pairwise work is a self-equi-join on
+    ``cell`` — never a global cross join. Cell population is ~N/n_cells, so
+    ``n_cells`` scales WITH the corpus (the paper uses 50k clusters for
+    LAION-440M) to keep per-cell candidate volume bounded; the join
+    shuffles each side once on ``cell``, and AQE splits any skewed cell.
+    Assignment is one narrow pass (BLAS matmul in ``assign_mode="float"``);
+    ``assign_mode="md5int"`` swaps in md5-rank-trained centroids +
+    all-integer quantized assignment (:func:`_quantized_cells`) so a DuckDB
+    oracle reproduces cells, cosines, and the kept set bit-for-bit."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings,
+            n_cells,
+            sample,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            rank_on="md5" if assign_mode == "md5int" else "xxhash64",
+        )
+    if assign_mode == "md5int":
+        cells = _quantized_cells(embeddings, centroids, 1, id_col, vec_col)
+    elif assign_mode == "float":
+        cells = ivf_assign(embeddings, centroids, id_col, vec_col)
+    else:
+        raise ValueError(
+            f"assign_mode must be 'float' or 'md5int', got {assign_mode!r}"
+        )
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    withv = cells.join(e, "id")
+    pairs = (
+        withv.alias("x")
+        .join(withv.alias("y"), "cell")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x._v").alias("_va"),
+            F.col("y._v").alias("_vb"),
+        )
+    )
+    scored = pair_cosine(pairs, "_va", "_vb", ["a", "b"])
+    dropped = (
+        scored.filter(F.col("score") >= threshold)
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    return cells.join(dropped, "id", "left_anti").select("id", "cell")

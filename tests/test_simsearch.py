@@ -285,3 +285,51 @@ def test_ivf_md5int_mode_deterministic_and_sane(spark, emb):
     import numpy as np
 
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_semantic_dedup_vs_numpy(spark, emb):
+    """SemDeDup kept set equals a numpy brute-force replica of the same
+    rule (same centroids, same cell assignment, 6dp-rounded cosine,
+    smaller-id suppression) — and planted exact clones always drop."""
+    from sparktax.simsearch import semantic_dedup, train_ivf_centroids
+
+    # plant clones: duplicate the first 5 vectors under new ids
+    base = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    docs = emb.select("vec_id", "embedding").unionByName(base).cache()
+    thr, cells_n = 0.5, 4
+    C = train_ivf_centroids(docs, cells_n, 4096, seed=7)
+    kept = (
+        semantic_dedup(docs, threshold=thr, n_cells=cells_n, seed=7, centroids=C)
+        .toPandas()
+        .sort_values("id")
+    )
+
+    pdf = docs.toPandas()
+    E = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    # numpy replica: assign to argmax-dot cell (ties toward higher cell,
+    # matching _top_cells_udf), then smaller-id suppression per cell
+    dots = E @ C.T
+    cell = np.array(
+        [int(np.lexsort((-(np.arange(cells_n)), -dots[i]))[0]) for i in range(len(ids))]
+    )
+    M = E / np.linalg.norm(E, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    kept_ids = []
+    kept_by_cell: dict[int, list[int]] = {}
+    for i in order:
+        prior = kept_by_cell.get(cell[i], [])
+        # suppression is by ANY smaller-id same-cell member, kept or not
+        same = [j for j in order if cell[j] == cell[i] and ids[j] < ids[i]]
+        if any(round(float(M[j] @ M[i]), 6) >= thr for j in same):
+            continue
+        kept_ids.append(ids[i])
+        kept_by_cell.setdefault(cell[i], []).append(i)
+    assert list(kept.id) == sorted(kept_ids)
+    # every planted clone has cosine 1.0 to its smaller-id original
+    assert not any(k >= 100000 for k in kept.id)
+    # cells reported match the numpy assignment
+    cell_of = {ids[i]: cell[i] for i in range(len(ids))}
+    assert all(cell_of[r.id] == r.cell for r in kept.itertuples())
