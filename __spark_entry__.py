@@ -491,6 +491,87 @@ def _split_corpus_sql() -> str:
     """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): raw = all documents,
+    target = the English subset; md5-bucketed 1–2-grams so DuckDB replays
+    the bucketing, counts feed the SAME numpy weight function in both
+    engines, and per-doc sums are all-integer (order-free)."""
+    from sparktax.textops import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), buckets=4096, hasher="md5"
+    )
+
+
+def _dsir_sql(buckets: int = 4096) -> str:
+    """DuckDB replica of the md5 DSIR lane: recompute both bucket-count
+    vectors from the gate parquet with the same normalization/grams/md5
+    bucketing, run the SAME ``dsir_bucket_weights`` numpy quantizer, embed
+    the int64 weights as VALUES, and replay the integer per-doc sum."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from sparktax.textops import dsir_bucket_weights
+
+    norm = _NORM.format(c="text")
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(g),{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    grams_cte = f"""
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({norm}, ' '), t -> t <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(t || list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks
+        ),
+        bucketed AS (SELECT doc_id, ({u60}) % {buckets} AS bucket FROM grams)
+    """
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW all_docs AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+
+    def count_vec(where: str) -> np.ndarray:
+        rows = con.sql(
+            f"WITH documents AS (SELECT * FROM all_docs {where}), {grams_cte}"
+            f" SELECT bucket, count(*) FROM bucketed GROUP BY 1"
+        ).fetchall()
+        c = np.zeros(buckets, dtype=np.int64)
+        for b, n in rows:
+            c[int(b)] = int(n)
+        return c
+
+    wq = dsir_bucket_weights(count_vec("WHERE lang = 'en'"), count_vec(""))
+    w_values = ", ".join(f"({i}, {int(wq[i])})" for i in range(buckets))
+    return f"""
+        WITH {grams_cte},
+        w(bucket, wq) AS (VALUES {w_values}),
+        scored AS (
+            SELECT doc_id, count(*) AS n_grams, sum(wq) AS s
+            FROM bucketed JOIN w USING (bucket)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               round(coalesce(s.s, 0) / 1048576.0, 6) AS logratio
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 _ORDER_SEED = 7
 
 
@@ -1092,6 +1173,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "training_order": q_training_order,
         "split_corpus": q_split_corpus,
+        "dsir_weights": q_dsir_weights,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2398,6 +2480,7 @@ def _maybe_ivf_oracle() -> dict[str, str]:
             "pq_topk": _pq_sql(),
             "ivfpq_topk": _ivfpq_sql(),
             "semantic_dedup": _semantic_dedup_sql(),
+            "dsir_weights": _dsir_sql(),
         }
     except missing as e:
         import sys

@@ -1171,3 +1171,116 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
         acc += fractions[name]
         out.append((name, int(acc * (16**15))))
     return out
+
+
+def _word_grams(text_col: str):
+    """array<string> of word unigrams + bigrams over the normalized text
+    (the DSIR feature space: hashed 1–2-grams, Xie et al. 2023 §3)."""
+    toks = F.filter(
+        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def dsir_bucket_weights(ct, cr):
+    """Quantized DSIR bucket log-ratios, shared by the Spark lane and the
+    DuckDB oracle builder: w_b = log((ct_b+1)/(T+B)) − log((cr_b+1)/(R+B))
+    (add-1-smoothed hashed-ngram unigram models), quantized to
+    ``round(w·2²⁰)`` int64 so per-doc sums are summation-order-free and
+    engine-exact (the sign-LSH/IVF integer device)."""
+    import numpy as np
+
+    ct = np.asarray(ct, dtype=np.float64)
+    cr = np.asarray(cr, dtype=np.float64)
+    B = len(ct)
+    w = (np.log(ct + 1.0) - np.log(ct.sum() + B)) - (
+        np.log(cr + 1.0) - np.log(cr.sum() + B)
+    )
+    return np.round(w * (1 << 20)).astype(np.int64)
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """DSIR data-selection scores (Xie et al. 2023, arXiv:2302.03169):
+    per-document importance weight log p_target(doc) − log p_raw(doc)
+    under bag-of-hashed-ngram models (word 1–2-grams hashed into
+    ``buckets``). Returns ``(doc_id, n_grams, logratio)`` for every raw
+    doc; select the top fraction by ``logratio`` (or Gumbel-perturb it)
+    to resample toward the target distribution.
+
+    The 100 TB shape: the two bucket-count aggregations are map-side
+    partial hash aggs whose exchanges carry ≤ ``buckets`` rows each; the
+    collected count vectors are bounded by ``buckets`` (driver-safe at any
+    corpus size, like IVF centroid training); scoring is a narrow explode
+    → broadcast join against the 8k-row weight table → partial agg back
+    to one row per doc. No shuffle ever carries gram-level rows across
+    stages. ``hasher="md5"`` swaps xxhash64 bucketing for the md5-prefix
+    device DuckDB replays bit-for-bit (the oracle lane)."""
+    import numpy as np
+
+    if hasher == "md5":
+        def bucket(g):
+            return (
+                F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+                % buckets
+            )
+    elif hasher == "xxhash64":
+        def bucket(g):
+            return F.pmod(F.xxhash64(g), F.lit(buckets))
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
+
+    def counts(df):
+        rows = (
+            df.select(F.explode(_word_grams(text_col)).alias("_g"))
+            .select(bucket(F.col("_g")).alias("bucket"))
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+        c = np.zeros(buckets, dtype=np.int64)
+        for r in rows:
+            c[int(r["bucket"])] = int(r["count"])
+        return c
+
+    wq = dsir_bucket_weights(counts(target), counts(raw))
+    spark = raw.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, int(wq[i])) for i in range(buckets)], "bucket long, wq long"
+    )
+    scored = (
+        raw.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_word_grams(text_col)).alias("_g"),
+        )
+        .select("doc_id", bucket(F.col("_g")).alias("bucket"))
+        .join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("wq").alias("_s"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(
+                F.coalesce(F.col("_s"), F.lit(0)) / F.lit(float(1 << 20)), 6
+            ).alias("logratio"),
+        )
+    )

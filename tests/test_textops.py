@@ -249,3 +249,58 @@ def test_repetition_signals(spark):
     # doc 2: empty → all zeros, no division blowups
     assert (out[2].n_tokens, out[2].top_token_frac, out[2].dup_sentence_frac) \
         == (0, 0.0, 0.0)
+
+
+def test_importance_weights_vs_python_replica(spark):
+    """DSIR md5 lane equals an independent hashlib/numpy replica (same
+    normalization, grams, bucketing, shared weight quantizer), and docs
+    sharing target vocabulary outscore off-target docs."""
+    import hashlib
+    import re
+
+    rows = [
+        (0, "the model trains on clean english text data"),
+        (1, "clean english text improves the model quality"),
+        (2, "le texte francais est tres different du corpus"),
+        (3, "du corpus francais le modele apprend peu"),
+        (4, "clean text data helps train the english model"),
+        (5, ""),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id").isin(0, 1))
+    B = 512
+    got = (
+        textops.importance_weights(docs, target, buckets=B, hasher="md5")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(text):
+        t = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", (text or "").lower())).strip()
+        toks = [w for w in t.split(" ") if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def counts(ids):
+        c = np.zeros(B, dtype=np.int64)
+        for i, text in rows:
+            if i in ids:
+                for g in grams(text):
+                    c[bucket(g)] += 1
+        return c
+
+    wq = textops.dsir_bucket_weights(counts({0, 1}), counts({r[0] for r in rows}))
+    for i, text in rows:
+        gs = grams(text)
+        s = int(sum(wq[bucket(g)] for g in gs))
+        assert got.n_grams[i] == len(gs)
+        assert got.logratio[i] == round(s / (1 << 20), 6)
+    # semantic sanity: on-target docs outscore the french ones
+    assert min(got.logratio[[0, 1, 4]]) > max(got.logratio[[2, 3]])
+    # empty/null docs score 0 with 0 grams
+    assert got.n_grams[5] == 0 and got.logratio[5] == 0.0
+    assert got.n_grams[6] == 0 and got.logratio[6] == 0.0
