@@ -491,6 +491,96 @@ def _split_corpus_sql() -> str:
     """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-level dedup (Lee et al. 2022) in the md5-hash
+    lane: duplicated ≥8-token windows collapse to their global first
+    occurrence; DuckDB replays windows, first-keys, interval merge and
+    text rebuild bit-for-bit."""
+    from sparktax.textops import dedup_spans
+
+    return dedup_spans(_t(spark, sf_dir, "documents"), w=8, hasher="md5")
+
+
+def _dedup_spans_sql(w: int = 8) -> str:
+    """DuckDB replica of the md5 dedup_spans lane. Pure SQL (no gate-data
+    read at build time): same normalization/tokens as the other text
+    oracles, the u60 md5-prefix window hash, min(doc_id·2²⁰+pos) first
+    keys, gaps-and-islands interval merge, and a lambda rebuild of the
+    kept token stream."""
+    norm = _NORM.format(c="coalesce(text, '')")
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(g),{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({norm}, ' '), t -> t <> '') AS t
+            FROM documents
+        ),
+        wtext AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(list_slice(t, i + 1, i + {w}), ' ') AS g
+            FROM toks,
+                 LATERAL (SELECT unnest(
+                     range(0, greatest(len(t) - {w} + 1, 0))) AS i)
+        ),
+        wins AS (SELECT doc_id, pos, ({u60}) AS whash FROM wtext),
+        firsts AS (
+            SELECT whash, min(doc_id * 1048576 + pos) AS fk
+            FROM wins GROUP BY whash HAVING count(*) > 1
+        ),
+        marked AS (
+            SELECT w.doc_id, w.pos, w.pos + {w} AS e
+            FROM wins w JOIN firsts f USING (whash)
+            WHERE w.doc_id * 1048576 + w.pos <> f.fk
+        ),
+        pm AS (
+            SELECT doc_id, pos, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pmax
+            FROM marked
+        ),
+        isl AS (
+            SELECT doc_id, pos, e,
+                   sum(CASE WHEN pmax IS NULL OR pos > pmax
+                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+            FROM pm
+        ),
+        merged AS (
+            SELECT doc_id, min(pos) AS s, max(e) AS e
+            FROM isl GROUP BY doc_id, grp
+        ),
+        spans AS (
+            SELECT doc_id, list_sort(list(s * 1048576 + e)) AS sp
+            FROM merged GROUP BY doc_id
+        ),
+        pre AS (
+            SELECT t.doc_id, len(t.t) AS n_tokens, t.t AS t,
+                   coalesce(s.sp, CAST([] AS BIGINT[])) AS sp
+            FROM toks t LEFT JOIN spans s USING (doc_id)
+        ),
+        kept AS (
+            SELECT doc_id, n_tokens, t,
+                   list_filter(range(0, n_tokens),
+                       i -> len(list_filter(sp,
+                           z -> i >= (z >> 20) AND i < (z & 1048575))) = 0)
+                       AS ki
+            FROM pre
+        )
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+               (n_tokens - len(ki))::BIGINT AS n_removed,
+               coalesce(array_to_string(
+                   list_transform(ki, i -> t[i + 1]), ' '), '') AS clean_text
+        FROM kept
+    """
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): raw = all documents,
     target = the English subset; md5-bucketed 1–2-grams so DuckDB replays
@@ -1174,6 +1264,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "split_corpus": q_split_corpus,
         "dsir_weights": q_dsir_weights,
+        "dedup_spans": q_dedup_spans,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2063,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, m AS fp FROM win WHERE i >= 4
         """,
+        "dedup_spans": _dedup_spans_sql(),
         "decontaminate": f"""
             WITH d AS (
                 SELECT doc_id,

@@ -182,6 +182,30 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
         ("mix weights broadcast; copy expansion codegen'd (no Python)",
          lambda p: "BroadcastHashJoin" in p and "Python" not in p),
     ],
+    "semantic_dedup": [
+        ("within-cell pairs come from a cell equi-join, never a global "
+         "cross join",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+        ("quantized assignment + pair cosine partial-aggregate map-side",
+         lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "dsir_weights": [
+        ("8k-row weight table broadcast against the exploded grams (the "
+         "corpus side never shuffles by gram)",
+         lambda p: "BroadcastHashJoin" in p),
+        ("per-doc integer sums partial-aggregate before the doc exchange",
+         lambda p: p.count("HashAggregate") >= 2 and "CartesianProduct" not in p),
+    ],
+    "dedup_spans": [
+        ("duplicate detection is a map-side-combined aggregate on the "
+         "window hash (one row per distinct window through the exchange)",
+         lambda p: p.count("HashAggregate") >= 2),
+        ("marked spans rejoin on the hash (equi-join), interval merge is "
+         "a per-doc window — no cartesian product anywhere",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p and "Window" in p),
+    ],
     "pack_sequences": [
         ("distributed prefix sum: per-range window, never a global-order "
          "single-partition sort",

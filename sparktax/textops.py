@@ -1284,3 +1284,121 @@ def importance_weights(
             ).alias("logratio"),
         )
     )
+
+
+def dedup_spans(
+    documents: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): remove every duplicated token span of length ≥ ``w``
+    from all but its first occurrence, keeping the rest of each document.
+    Returns ``(doc_id, n_tokens, n_removed, clean_text)`` over the
+    normalized token stream (the repo's dedup key).
+
+    Mechanism: every ``w``-token window is hashed; a window whose hash
+    occurs more than once corpus-wide is a duplicate, and every
+    occurrence except the global first (min ``doc_id·2²⁰+pos``) marks its
+    ``[pos, pos+w)`` span for removal. Overlapping marked spans merge
+    (gaps-and-islands), so a repeated region of length L ≥ w — whose
+    L−w+1 windows are all duplicated — is removed as ONE maximal span:
+    the fixed-window union recovers exactly the maximal repeated regions
+    the reference suffix-array method finds, at ≥ w granularity, without
+    building a distributed suffix array.
+
+    The 100 TB shape: window hashing is a narrow per-doc ``transform``
+    (no shuffle); duplicate detection is ONE content shuffle — a
+    map-side-combined count/min aggregate on the 8-byte window hash, so
+    the exchange carries one row per distinct window, never one per
+    occurrence; marked spans join back on the hash (AQE skew-join splits
+    boilerplate-hot hashes); interval merge + text rebuild are per-doc
+    window functions and array ops. Bounds: ≤ 2²⁰ tokens/doc and
+    ``doc_id`` < 2⁴³ (the composite first-occurrence key) — chunk longer
+    docs first (:func:`chunk_documents`). ``hasher="md5"`` uses the
+    md5-prefix hash DuckDB replays bit-for-bit."""
+    if hasher == "md5":
+        def whash(s):
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    elif hasher == "xxhash64":
+        def whash(s):
+            return F.xxhash64(s)
+    else:
+        raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
+
+    toks = F.filter(
+        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    base = documents.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    warr = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: whash(F.array_join(F.slice("_t", i + 1, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    wins = base.select("doc_id", F.posexplode(warr).alias("pos", "whash"))
+    key = F.col("doc_id") * (1 << 20) + F.col("pos")
+    firsts = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("_n"), F.min(key).alias("_first"))
+        .filter(F.col("_n") > 1)
+        .select("whash", "_first")
+    )
+    marked = (
+        wins.join(firsts, "whash")
+        .filter(key != F.col("_first"))
+        .select("doc_id", "pos", (F.col("pos") + w).alias("end"))
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        marked.withColumn("_pmax", F.max("end").over(prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("pos") > F.col("_pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(cum))
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("_s"), F.max("end").alias("_e"))
+    )
+    # spans encode as one long (s·2²⁰+e): lambda-friendly in both engines
+    spans = islands.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.col("_s") * (1 << 20) + F.col("_e"))
+        ).alias("_spans")
+    )
+    out = base.join(spans, "doc_id", "left").withColumn(
+        "_spans", F.coalesce("_spans", F.array().cast("array<long>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda z: (i >= F.shiftright(z, 20))
+        & (i < z.bitwiseAND(F.lit((1 << 20) - 1))),
+    )
+    kept = F.when(
+        n > 0,
+        F.filter(F.sequence(F.lit(0), n - 1), lambda i: ~covered(i)),
+    ).otherwise(F.array().cast("array<int>"))
+    return out.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("_t", i + 1)), " "
+        ).alias("clean_text"),
+    )

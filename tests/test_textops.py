@@ -304,3 +304,64 @@ def test_importance_weights_vs_python_replica(spark):
     # empty/null docs score 0 with 0 grams
     assert got.n_grams[5] == 0 and got.logratio[5] == 0.0
     assert got.n_grams[6] == 0 and got.logratio[6] == 0.0
+
+
+def test_dedup_spans_vs_python_replica(spark):
+    """ExactSubstr window dedup equals an independent python replica on a
+    seeded corpus with planted cross-doc and within-doc repeats; maximal
+    repeated regions come out as ONE merged span; first occurrence and
+    short docs stay intact."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for d in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(2, 25))]
+        if d % 3 == 0:  # plant the boilerplate block mid-doc
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + boiler + toks[at:]
+        if d == 7:  # within-doc repeat
+            toks = toks + toks[:10]
+        rows.append((d, " ".join(toks)))
+    rows.append((30, ""))
+    W = 5
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        textops.dedup_spans(docs, w=W)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    wins: dict[tuple, list[tuple[int, int]]] = {}
+    toks_of = {d: t.split() if t else [] for d, t in rows}
+    for d, t in toks_of.items():
+        for i in range(len(t) - W + 1):
+            wins.setdefault(tuple(t[i : i + W]), []).append((d, i))
+    marked: dict[int, list[tuple[int, int]]] = {}
+    for occ in wins.values():
+        if len(occ) > 1:
+            for d, i in sorted(occ)[1:]:
+                marked.setdefault(d, []).append((i, i + W))
+    for d, t in toks_of.items():
+        spans, cur = [], None
+        for s, e in sorted(marked.get(d, [])):
+            if cur and s <= cur[1]:
+                cur[1] = max(cur[1], e)
+            else:
+                cur = [s, e]
+                spans.append(cur)
+        kept = [
+            tok
+            for i, tok in enumerate(t)
+            if not any(s <= i < e for s, e in spans)
+        ]
+        r = got.iloc[d]
+        assert r.n_tokens == len(t)
+        assert r.n_removed == len(t) - len(kept)
+        assert r.clean_text == " ".join(kept)
+    # the planted boilerplate survives in exactly one doc
+    full = " ".join(boiler)
+    assert sum(full in c for c in got.clean_text) == 1
