@@ -39,6 +39,9 @@ HEADLINE = [
     "topk_window",
     "events_lag",
     "taxonomy_blobs",
+    "dedup_spans",
+    "dsir_weights",
+    "semantic_dedup",
 ]
 
 
@@ -58,8 +61,58 @@ def _bench_minhash_neardup(spark, sf_dir):
     return minhash_near_duplicates(docs, threshold=0.5, n=3, k=64, bands=16)
 
 
+def _bench_dedup_spans(spark, sf_dir):
+    """Production lane (xxhash64 window hashes, not the md5 oracle device);
+    count() would prune the clean_text rebuild, so force every column
+    through a bit_xor/xxhash64 aggregate (the narrow-plan count() lesson)."""
+    from pyspark.sql import functions as F
+
+    from sparktax.textops import dedup_spans
+
+    # testdata parquet is single-row-group → the window-hash fan-out would
+    # run in ONE task without this; real inputs arrive in many splits
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
+    out = dedup_spans(docs, w=8)
+    return out.agg(
+        F.bit_xor(F.xxhash64("clean_text")).alias("h"),
+        F.sum("n_removed").alias("n_removed"),
+    )
+
+
+def _bench_dsir_weights(spark, sf_dir):
+    """Production lane (xxhash64 buckets); agg-forced for the same reason."""
+    from pyspark.sql import functions as F
+
+    from sparktax.textops import importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(32)
+    out = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    return out.agg(
+        F.bit_xor(F.xxhash64("logratio")).alias("h"),
+        F.sum("n_grams").alias("n_grams"),
+    )
+
+
+def _bench_semantic_dedup(spark, sf_dir):
+    """Production lane (BLAS float assignment, xxhash64-rank centroids)."""
+    from pyspark.sql import functions as F
+
+    from sparktax.simsearch import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.2, n_cells=16)
+    return out.agg(
+        F.bit_xor(F.xxhash64("id")).alias("h"), F.count("*").alias("kept")
+    )
+
+
 # queries benched on a different code path than their correctness-gate twin
-OVERRIDES = {"minhash_neardup": _bench_minhash_neardup}
+OVERRIDES = {
+    "minhash_neardup": _bench_minhash_neardup,
+    "dedup_spans": _bench_dedup_spans,
+    "dsir_weights": _bench_dsir_weights,
+    "semantic_dedup": _bench_semantic_dedup,
+}
 
 
 def _steal_pct(sample_s: float = 0.5) -> float:
