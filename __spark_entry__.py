@@ -581,6 +581,142 @@ def _dedup_spans_sql(w: int = 8) -> str:
     """
 
 
+_BPE_MERGES = 24
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016): the full iterative
+    merge loop over the word-frequency table. Deterministic by the
+    (count DESC, left ASC, right ASC) tie-break, so an independent python
+    replay reproduces the merge table exactly."""
+    from sparktax.bpe import train_bpe
+
+    return train_bpe(_t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with the trained merges (distinct words encoded once,
+    corpus joined back). The oracle compares md5 of the joined symbol
+    stream so no document text is embedded in SQL."""
+    from sparktax.bpe import encode_bpe, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=_BPE_MERGES)
+    return encode_bpe(docs, merges).select(
+        "doc_id", "n_bpe_tokens", F.md5("bpe_text").alias("bpe_md5")
+    )
+
+
+def _bpe_replica(sf_dir: str, n_merges: int):
+    """Independent pure-python BPE replay (no code shared with
+    sparktax/bpe.py): words come from DuckDB with the engine-parity
+    normalization, the merge loop and encoder are reimplemented here."""
+    from collections import Counter
+
+    import duckdb
+
+    norm = _NORM.format(c="coalesce(text, '')")
+    con = duckdb.connect()
+    doc_rows = con.sql(
+        f"SELECT doc_id, list_filter(string_split({norm}, ' '), "
+        f"t -> t <> '') AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wc: Counter = Counter(w for _, t in doc_rows for w in (t or []))
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in wc.items()}
+    merges = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, a, b))
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+
+    enc_cache: dict = {}
+
+    def enc_word(w: str) -> list[str]:
+        if w not in enc_cache:
+            syms = list(w) + ["</w>"]
+            for _, a, b in merges:
+                i, new = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        new.append(a + b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                syms = new
+            enc_cache[w] = syms
+        return enc_cache[w]
+
+    docs = []
+    for doc_id, t in doc_rows:
+        toks = [s for w in (t or []) for s in enc_word(w)]
+        docs.append((doc_id, len(toks), " ".join(toks)))
+    return merges, docs
+
+
+def _maybe_bpe_oracle() -> dict[str, str]:
+    """Like _maybe_ivf_oracle: the builder reads the gate parquet, so only
+    the expected missing-data failures degrade these two to rows-only."""
+    import hashlib
+    import os
+
+    try:
+        import duckdb
+
+        missing = (FileNotFoundError, OSError, duckdb.IOException)
+    except ImportError:
+        return {}
+    try:
+        sf_dir = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        merges, docs = _bpe_replica(sf_dir, _BPE_MERGES)
+    except missing as e:
+        import sys
+
+        print(f"bpe oracles degraded to rows-only: {e!r}", file=sys.stderr)
+        return {}
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    mvals = ", ".join(f"({r}, {q(a)}, {q(b)})" for r, a, b in merges)
+    evals = ", ".join(
+        f"({d}, {n}, '{hashlib.md5(t.encode()).hexdigest()}')"
+        for d, n, t in docs
+    )
+    return {
+        "bpe_merges": f"""
+            SELECT * FROM (VALUES {mvals}) AS t(rank, "left", "right")
+        """,
+        "bpe_encode": f"""
+            SELECT * FROM (VALUES {evals})
+                AS t(doc_id, n_bpe_tokens, bpe_md5)
+        """,
+    }
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): raw = all documents,
     target = the English subset; md5-bucketed 1–2-grams so DuckDB replays
@@ -1265,6 +1401,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": q_split_corpus,
         "dsir_weights": q_dsir_weights,
         "dedup_spans": q_dedup_spans,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -2549,6 +2687,7 @@ def oracle_sql() -> dict[str, str]:
         # missing testdata dir must degrade ivf_topk to rows-only rather
         # than break every oracle in the dict.
         **_maybe_ivf_oracle(),
+        **_maybe_bpe_oracle(),
     }
 
 

@@ -1,0 +1,223 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016,
+arXiv:1508.07909) — a repo addition for the LLM-pipeline surface (the
+reference has no tokenizer lane).
+
+Scale design: training NEVER iterates over the corpus. One shuffle
+collapses the corpus to its word-frequency table (Zipf: ~10⁸ distinct
+words at 100 TB, each carried once with a count), and every merge round
+is a pair-count aggregate + a symbol rewrite over THAT table. Encoding
+likewise tokenizes each distinct word once and joins the result back —
+cost ∝ vocabulary, not corpus. Per-round lineage is truncated with
+``localCheckpoint`` (the connected-components loop pattern: Catalyst
+cannot plan loops). The per-word symbol rewrites are Arrow-batched
+pandas UDFs (tight python loops over ≤ word-length lists — sequential
+overlap semantics make them awkward as Catalyst HOFs, and HOF lambdas
+run interpreted anyway).
+
+Determinism: merge ranks tie-break on (count DESC, left ASC, right ASC),
+so training is bit-reproducible across engines and cluster sizes — the
+gate oracle replays the whole iterative algorithm in independent python
+and matches the merge table exactly.
+
+A known cheaper variant recounts only pairs touched by the previous
+merge (incremental pair counts); this module recounts fully each round —
+simpler, embarrassingly parallel, and bounded by the vocab table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparktax.textops import tokens_expr
+
+END = "</w>"
+
+
+def word_counts(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) — the corpus' word-frequency table over the normalized
+    token stream (ONE shuffle; map-side partial counts)."""
+    toks = F.filter(
+        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    return (
+        documents.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _init_syms():
+    @F.pandas_udf("array<string>")
+    def init(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: list(w) + [END])
+
+    return init
+
+
+def _merge_udf(left: str, right: str):
+    merged = left + right
+
+    def merge_one(syms):
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @F.pandas_udf("array<string>")
+    def apply(col: pd.Series) -> pd.Series:
+        return col.map(merge_one)
+
+    return apply
+
+
+def _adjacent_pairs(syms_col):
+    """array<struct<a,b>> of adjacent symbol pairs (codegen'd transform)."""
+    n = F.size(syms_col)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(syms_col, i).alias("a"),
+                F.element_at(syms_col, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def train_bpe(
+    documents: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    min_count: int = 2,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the ranked
+    merge table ``(rank, left, right)`` (rank 0 applied first). Stops
+    early when the best pair occurs fewer than ``min_count`` times.
+
+    ``vocab``: pass a precomputed :func:`word_counts` table to share it
+    with :func:`encode_bpe` (otherwise computed here)."""
+    if vocab is None:
+        vocab = word_counts(documents, text_col)
+    spark = vocab.sparkSession
+    cur = vocab.select(
+        "n", _init_syms()(F.col("word")).alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        best = (
+            cur.select("n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if best is None or best["cnt"] < min_count:
+            break
+        merges.append((rank, best["a"], best["b"]))
+        cur = cur.select(
+            "n", _merge_udf(best["a"], best["b"])(F.col("syms")).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string"
+    )
+
+
+def bpe_encode_word(word: str, rank_of: dict) -> list[str]:
+    """Encode ONE word with a trained merge table (driver/worker-side
+    python; standard BPE encode: repeatedly apply the lowest-ranked
+    applicable merge)."""
+    syms = list(word) + [END]
+    while len(syms) >= 2:
+        ranked = [
+            (rank_of.get((syms[i], syms[i + 1])), i)
+            for i in range(len(syms) - 1)
+        ]
+        ranked = [(r, i) for r, i in ranked if r is not None]
+        if not ranked:
+            break
+        r, _ = min(ranked)
+        left, right = None, None
+        for rr, i in ranked:
+            if rr == r:
+                left, right = syms[i], syms[i + 1]
+                break
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_bpe(
+    documents: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with a trained merge table. Returns
+    ``(doc_id, n_bpe_tokens, bpe_text)`` where ``bpe_text`` joins the
+    BPE symbols with spaces (word order preserved by explicit position
+    sort — collect order is task-arrival-dependent and NEVER trusted).
+
+    Scale shape: the merge table is collected (bounded by ``n_merges``)
+    and shipped in the UDF closure; each DISTINCT word is encoded once
+    (Arrow-batched pandas UDF over the word table) and the corpus joins
+    the encoded vocabulary back on the word — at 100 TB the python work
+    is ∝ vocabulary, the join is one shuffle of (doc_id, pos, word)."""
+    rank_of = {
+        (r["left"], r["right"]): r["rank"] for r in merges.collect()
+    }
+    @F.pandas_udf("array<string>")
+    def enc(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: bpe_encode_word(w, rank_of))
+
+    toks = F.filter(
+        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    exploded = documents.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "word")
+    )
+    vocab = exploded.select("word").distinct().select(
+        "word", enc(F.col("word")).alias("wtoks")
+    )
+    per_doc = (
+        exploded.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "wtoks"))
+                    ),
+                    lambda s: s.getField("wtoks"),
+                )
+            ).alias("bpe")
+        )
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.size("bpe"), F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce(F.array_join("bpe", " "), F.lit("")).alias("bpe_text"),
+        )
+    )
