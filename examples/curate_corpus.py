@@ -1,8 +1,9 @@
 """Training-data curation — the documents-table lane end-to-end:
 
-    exact dedup → MinHash/LSH near-dup → quality + language +
-    repetition filters → benchmark decontamination → clean corpus +
-    audit counts.
+    exact dedup → MinHash/LSH near-dup → ExactSubstr span dedup →
+    SemDeDup (embedding cells) → quality + language + repetition
+    filters → DSIR importance selection → benchmark decontamination →
+    split → mix → shuffle → pack → BPE audit.
 
 Every stage is pure Catalyst (no Python in a hot path) and every
 filter is expressed so it would run unchanged over a 100 TB corpus:
@@ -20,9 +21,13 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparktax.session import get_spark  # noqa: E402
+from sparktax.bpe import encode_bpe, train_bpe  # noqa: E402
+from sparktax.simsearch import semantic_dedup  # noqa: E402
 from sparktax.textops import (  # noqa: E402
     decontaminated,
     dedup_exact,
+    dedup_spans,
+    importance_weights,
     language_id,
     minhash_near_duplicates,
     prepare_training_corpus,
@@ -49,6 +54,29 @@ def main() -> None:
     docs = docs.join(losers, "doc_id", "left_anti")
     n2 = docs.count()
 
+    # 2b. span-level dedup (ExactSubstr): duplicated >=8-token windows
+    # collapse to their first occurrence; docs continue with clean_text
+    spans = dedup_spans(docs, w=8)
+    docs = (
+        docs.join(spans.select("doc_id", "clean_text", "n_removed"), "doc_id")
+        .withColumn("text", F.col("clean_text"))
+        .drop("clean_text")
+    )
+    n_span_tokens = docs.agg(F.sum("n_removed")).first()[0]
+    docs = docs.drop("n_removed").filter(F.length("text") > 0)
+
+    # 2c. semantic dedup (SemDeDup) over the embeddings table: vectors
+    # sharing a k-means cell with cosine >= 0.85 to an earlier vector drop
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept_vecs = semantic_dedup(emb, threshold=0.85, n_cells=8).select(
+        F.col("id").alias("doc_id")
+    )
+    # stage boundary: every audit count below is a separate driver action,
+    # and each action re-executes the WHOLE lazy lineage above it (the
+    # pack_sequences 3x lesson) — truncate it once the dedup wave is done
+    docs = docs.join(kept_vecs, "doc_id", "left_semi").localCheckpoint()
+    n2c = docs.count()
+
     # 3. quality + language gates (all Catalyst expressions)
     q = quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
     lang = language_id(docs).filter(F.col("lang_pred") == "en").select("doc_id")
@@ -61,6 +89,18 @@ def main() -> None:
         .join(rep, "doc_id", "left_semi")
     )
     n3 = docs.count()
+
+    # 3b. DSIR importance selection: score every doc against the English
+    # subset as target; keep the top 80% (approxQuantile = distributed
+    # sketch, driver-safe at any scale)
+    scored = importance_weights(docs, docs.filter(F.col("lang") == "en"))
+    thr = scored.approxQuantile("logratio", [0.2], 0.01)[0]
+    docs = docs.join(
+        scored.filter(F.col("logratio") >= thr).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint()
+    n3b = docs.count()
 
     # 4. decontamination against a probe set (stand-in: every 100th doc's
     # first 120 chars plays the role of a benchmark prompt)
@@ -91,9 +131,19 @@ def main() -> None:
         F.countDistinct("seq_id")
     ).first()[0]
 
+    # 6. tokenizer audit: train BPE on the train split, report the merge
+    # table size and the corpus' BPE token count (cost ∝ vocabulary)
+    merges = train_bpe(train, n_merges=32)
+    bpe_tokens = (
+        encode_bpe(train, merges).agg(F.sum("n_bpe_tokens")).first()[0]
+    )
+
     print(f"raw={n0}  exact-dedup={n1}  near-dup={n2}  "
-          f"quality/lang/repetition={n3}  decontaminated={n4}  "
-          f"train-docs-packed={n5}  sequences={n_seq}")
+          f"span-tokens-removed={n_span_tokens}  semantic-dedup={n2c}  "
+          f"quality/lang/repetition={n3}  dsir-selected={n3b}  "
+          f"decontaminated={n4}  train-docs-packed={n5}  "
+          f"sequences={n_seq}  bpe-merges={merges.count()}  "
+          f"bpe-tokens={bpe_tokens}")
     spark.stop()
 
 
