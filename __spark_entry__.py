@@ -581,6 +581,138 @@ def _dedup_spans_sql(w: int = 8) -> str:
     """
 
 
+_QCLF_BUCKETS = 2048
+_QCLF_SEED = 42
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier (Joulin et al. 2016) in the md5
+    lane: hash-rank sampling, bucketing, the shared numpy trainer and the
+    all-integer scoring are each engine-replayable, so the whole
+    train-then-score round trip hash-checks against DuckDB."""
+    from sparktax.textops import classify_quality, train_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    wq, bq = train_quality_classifier(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        buckets=_QCLF_BUCKETS,
+        seed=_QCLF_SEED,
+        hasher="md5",
+    )
+    return classify_quality(docs, wq, bq, hasher="md5")
+
+
+def _qclf_replica_weights(sf_dir: str):
+    """Independent hashlib/duckdb replay of the md5 training lane:
+    engine-parity tokens from DuckDB, hashlib md5 sampling rank and
+    bucketing, the shared numpy core (`logreg_weights`, the `_lloyd`
+    pattern), standardization fold reimplemented here."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from sparktax.textops import logreg_weights
+
+    norm = _NORM.format(c="coalesce(text, '')")
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT doc_id, lang, list_filter(string_split({norm}, ' '), "
+        f"t -> t <> '') AS t FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    B, seed = _QCLF_BUCKETS, _QCLF_SEED
+
+    def grams(toks):
+        return list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def rank(i):
+        return (
+            int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:15], 16),
+            i,
+        )
+
+    toks_of = {d: (t or []) for d, _, t in rows}
+    lang_of = {d: lg for d, lg, _ in rows}
+
+    def featurize(ids):
+        ids = sorted(ids, key=rank)[:4096]
+        X = np.zeros((len(ids), B))
+        for r, i in enumerate(sorted(ids)):
+            for g in grams(toks_of[i]):
+                X[r, bucket(g)] += 1
+            tot = X[r].sum()
+            if tot > 0:
+                X[r] /= tot
+        return X
+
+    Xp = featurize([d for d in toks_of if lang_of[d] == "en"])
+    Xn = featurize([d for d in toks_of if lang_of[d] != "en"])
+    X = np.concatenate([Xp, Xn])
+    y = np.concatenate([np.ones(len(Xp)), np.zeros(len(Xn))])
+    mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+    w, b = logreg_weights((X - mu) / sd, y)
+    w_eff = w / sd
+    b_eff = b - float((w * (mu / sd)).sum())
+    return (
+        np.round(w_eff * (1 << 20)).astype(np.int64),
+        int(round(b_eff * (1 << 20))),
+    )
+
+
+def _qclf_sql() -> str:
+    """DuckDB replica of the md5 classify lane: replica-trained weights
+    as VALUES, the u60 md5 bucket device, integer per-doc sums."""
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    wq, bq = _qclf_replica_weights(sf_dir)
+    norm = _NORM.format(c="coalesce(text, '')")
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(g),{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    w_values = ", ".join(
+        f"({i}, {int(wq[i])})" for i in range(len(wq))
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({norm}, ' '), t -> t <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(t || list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks
+        ),
+        bucketed AS (
+            SELECT doc_id, ({u60}) % {len(wq)} AS bucket FROM grams
+        ),
+        w(bucket, wq) AS (VALUES {w_values}),
+        scored AS (
+            SELECT doc_id, count(*) AS n_grams, sum(wq) AS s
+            FROM bucketed JOIN w USING (bucket)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               (coalesce(s.s, 0) + {bq} * coalesce(s.n_grams, 0))::BIGINT
+                   AS logit_q,
+               (coalesce(s.s, 0) + {bq} * coalesce(s.n_grams, 0)) > 0
+                   AS keep
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 _BPE_MERGES = 24
 
 
@@ -692,10 +824,11 @@ def _maybe_bpe_oracle() -> dict[str, str]:
             "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
         )
         merges, docs = _bpe_replica(sf_dir, _BPE_MERGES)
+        qclf_sql = _qclf_sql()
     except missing as e:
         import sys
 
-        print(f"bpe oracles degraded to rows-only: {e!r}", file=sys.stderr)
+        print(f"bpe/qclf oracles degraded to rows-only: {e!r}", file=sys.stderr)
         return {}
 
     def q(s: str) -> str:
@@ -714,6 +847,7 @@ def _maybe_bpe_oracle() -> dict[str, str]:
             SELECT * FROM (VALUES {evals})
                 AS t(doc_id, n_bpe_tokens, bpe_md5)
         """,
+        "quality_classifier": qclf_sql,
     }
 
 
@@ -1403,6 +1537,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "quality_classifier": q_quality_classifier,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

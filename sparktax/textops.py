@@ -1402,3 +1402,171 @@ def dedup_spans(
             F.transform(kept, lambda i: F.element_at("_t", i + 1)), " "
         ).alias("clean_text"),
     )
+
+
+def _gram_bucket(g, buckets: int, hasher: str):
+    if hasher == "md5":
+        return (
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % buckets
+        )
+    if hasher == "xxhash64":
+        return F.pmod(F.xxhash64(g), F.lit(buckets))
+    raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
+
+
+def logreg_weights(X, y, epochs: int = 200, lr: float = 0.5, l2: float = 1e-3):
+    """Plain-numpy logistic regression on l1-normalized bucket counts —
+    the deterministic training core shared by the Spark lane and the
+    DuckDB oracle builder (the `_lloyd` pattern: same floats in, same
+    floats out, wherever it runs). Returns (w, b)."""
+    import numpy as np
+
+    n, d = X.shape
+    w = np.zeros(d)
+    b = 0.0
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + l2 * w)
+        b -= lr * float(g.mean())
+    return w, b
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    sample: int = 4096,
+    seed: int = 42,
+    hasher: str = "xxhash64",
+    epochs: int = 200,
+):
+    """fastText-style linear quality classifier (Joulin et al. 2016,
+    arXiv:1607.01759 — the CCNet/LLaMA-pipeline quality-filter shape):
+    bag of hashed word 1–2-grams → logistic regression. Returns
+    ``(w_q, b_q)``: int64 bucket weights and bias, both quantized to
+    ``round(·2²⁰)`` so :func:`classify_quality` scores with all-integer
+    sums (order-free, engine-exact).
+
+    The 100 TB shape (the IVF-centroid pattern): training reads a BOUNDED
+    hash-rank sample of ``sample`` docs per class — driver-safe at any
+    corpus size — but the sampled docs are featurized DISTRIBUTED with the
+    same gram/bucket expressions scoring uses, so train and score buckets
+    agree for either hasher. ``hasher="md5"`` makes sampling, bucketing
+    and scoring DuckDB-replayable bit-for-bit."""
+    import numpy as np
+
+    def rank_expr(idc):
+        if hasher == "md5":
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(idc.cast("string"), F.lit(f":{seed}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        return F.xxhash64(idc.cast("string"), F.lit(seed))
+
+    def featurize(df, label):
+        ids = (
+            df.select(F.col(id_col).alias("_id"))
+            .withColumn("_rk", rank_expr(F.col("_id")))
+            .orderBy("_rk", "_id")
+            .limit(sample)
+            .select("_id")
+        )
+        sampled = df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        ).join(ids, "_id", "left_semi")
+        rows = (
+            sampled.select("_id", F.explode(_word_grams("_t")).alias("_g"))
+            .select("_id", _gram_bucket(F.col("_g"), buckets, hasher).alias("b"))
+            .groupBy("_id", "b")
+            .count()
+            .collect()
+        )
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["_id"], []).append((int(r["b"]), int(r["count"])))
+        X = np.zeros((len(by_doc), buckets))
+        for i, k in enumerate(sorted(by_doc)):
+            for b, c in by_doc[k]:
+                X[i, b] = c
+            tot = X[i].sum()
+            if tot > 0:
+                X[i] /= tot
+        y = np.full(len(by_doc), float(label))
+        return X, y
+
+    Xp, yp = featurize(pos, 1)
+    Xn, yn = featurize(neg, 0)
+    X = np.concatenate([Xp, Xn])
+    y = np.concatenate([yp, yn])
+    # standardize for conditioning (l1-normalized counts are ~1/doc_len —
+    # far too small for a fixed lr), then FOLD the affine transform back
+    # into the weights so scoring stays a plain integer dot product:
+    # w·((x−μ)/σ) + b  ≡  (w/σ)·x + (b − Σ wμ/σ)
+    mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+    w, b = logreg_weights((X - mu) / sd, y, epochs=epochs)
+    w_eff = w / sd
+    b_eff = b - float((w * (mu / sd)).sum())
+    return (
+        np.round(w_eff * (1 << 20)).astype(np.int64),
+        int(round(b_eff * (1 << 20))),
+    )
+
+
+def classify_quality(
+    documents: DataFrame,
+    w_q,
+    b_q: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Score every document with a trained quality classifier. Returns
+    ``(doc_id, n_grams, logit_q, keep)`` where ``logit_q = Σ w_q[bucket] +
+    b_q·n_grams`` (the n-scaled quantized logit: same sign as the float
+    logit, all-integer so any engine reproduces it exactly) and
+    ``keep = logit_q > 0``.
+
+    Scale shape: identical to :func:`importance_weights` — narrow explode,
+    broadcast weight join, map-side partial sums, one row per doc through
+    the exchange."""
+    buckets = len(w_q)
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, int(w_q[i])) for i in range(buckets)], "bucket long, wq long"
+    )
+    scored = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_word_grams(text_col)).alias("_g"),
+        )
+        .select("doc_id", _gram_bucket(F.col("_g"), buckets, hasher).alias("bucket"))
+        .join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("wq").alias("_s"))
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            (
+                F.coalesce(F.col("_s"), F.lit(0))
+                + F.lit(int(b_q)) * F.coalesce("n_grams", F.lit(0))
+            ).alias("logit_q"),
+            (
+                F.coalesce(F.col("_s"), F.lit(0))
+                + F.lit(int(b_q)) * F.coalesce("n_grams", F.lit(0))
+                > 0
+            ).alias("keep"),
+        )
+    )

@@ -365,3 +365,77 @@ def test_dedup_spans_vs_python_replica(spark):
     # the planted boilerplate survives in exactly one doc
     full = " ".join(boiler)
     assert sum(full in c for c in got.clean_text) == 1
+
+
+def test_quality_classifier_vs_python_replica(spark):
+    """md5-lane classifier: engine logit_q equals an independent
+    hashlib/numpy replay (sampling rank, bucketing, shared numpy trainer,
+    integer scoring), and the trained model separates the planted task."""
+    import hashlib
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en")
+    B, SEED = 512, 42
+    wq, bq = textops.train_quality_classifier(
+        pos, neg, buckets=B, seed=SEED, hasher="md5"
+    )
+    got = (
+        textops.classify_quality(docs, wq, bq, hasher="md5")
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    # --- independent replay: features, sampling, training, scoring ---
+    def grams(text):
+        t = re.sub(
+            r"\s+", " ", re.sub(r"[^\w\s]", " ", (text or "").lower(), flags=re.ASCII)
+        ).strip()
+        toks = [w for w in t.split(" ") if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    pdf = docs.select("doc_id", "text", "lang").toPandas()
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    langs = dict(zip(pdf.doc_id, pdf.lang))
+
+    def rank(i):
+        return (int(hashlib.md5(f"{i}:{SEED}".encode()).hexdigest()[:15], 16), i)
+
+    def featurize(ids):
+        ids = sorted(ids, key=rank)[:4096]
+        X = np.zeros((len(ids), B))
+        for r, i in enumerate(sorted(ids)):
+            for g in grams(texts[i]):
+                X[r, bucket(g)] += 1
+            tot = X[r].sum()
+            if tot > 0:
+                X[r] /= tot
+        return X
+
+    Xp = featurize([i for i in texts if langs[i] == "en"])
+    Xn = featurize([i for i in texts if langs[i] != "en"])
+    X = np.concatenate([Xp, Xn])
+    y = np.concatenate([np.ones(len(Xp)), np.zeros(len(Xn))])
+    mu, sd = X.mean(axis=0), X.std(axis=0) + 1e-9
+    w, b = textops.logreg_weights((X - mu) / sd, y)
+    w_eff, b_eff = w / sd, b - float((w * (mu / sd)).sum())
+    wq2 = np.round(w_eff * (1 << 20)).astype(np.int64)
+    bq2 = int(round(b_eff * (1 << 20)))
+    np.testing.assert_array_equal(wq, wq2)
+    assert bq == bq2
+
+    for i, text in texts.items():
+        gs = grams(text)
+        s = int(sum(wq2[bucket(g)] for g in gs)) + bq2 * len(gs)
+        assert got.loc[i].logit_q == s
+        assert got.loc[i].keep == (s > 0)
+    # the planted task separates: >=85% of en kept, >=85% of non-en dropped
+    keep = got.keep.to_dict()
+    en = [i for i in texts if langs[i] == "en"]
+    non = [i for i in texts if langs[i] != "en"]
+    assert sum(keep[i] for i in en) / len(en) >= 0.85
+    assert sum(not keep[i] for i in non) / len(non) >= 0.85
