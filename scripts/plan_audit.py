@@ -206,6 +206,21 @@ CHECKS: dict[str, list[tuple[str, "callable"]]] = {
          lambda p: "CartesianProduct" not in p
          and "BroadcastNestedLoopJoin" not in p and "Window" in p),
     ],
+    "quality_classifier": [
+        ("weight table broadcast against the exploded grams; integer "
+         "sums partial-aggregate map-side",
+         lambda p: "BroadcastHashJoin" in p and p.count("HashAggregate") >= 2),
+        ("no cartesian product",
+         lambda p: "CartesianProduct" not in p),
+    ],
+    "bpe_encode": [
+        ("distinct-word encode is an Arrow-batched Python stage (cost "
+         "∝ vocabulary), never row-at-a-time",
+         lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+        ("vocabulary joins back by equi-join; no cartesian product",
+         lambda p: "CartesianProduct" not in p
+         and "BroadcastNestedLoopJoin" not in p),
+    ],
     "pack_sequences": [
         ("distributed prefix sum: per-range window, never a global-order "
          "single-partition sort",
