@@ -932,6 +932,82 @@ def _dsir_sql(buckets: int = 4096) -> str:
     """
 
 
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style hashed-ngram LM cross-entropy (Wenzek et al. 2019):
+    model = the English subset; md5 buckets + quantized log-probs make
+    the per-doc totals all-integer and engine-exact."""
+    from sparktax.textops import perplexity_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_score(
+        docs, docs.filter(F.col("lang") == "en"), buckets=4096, hasher="md5"
+    )
+
+
+def _perplexity_sql(buckets: int = 4096) -> str:
+    """DuckDB replica of the md5 perplexity lane: recompute the model's
+    bucket counts from the gate parquet with the same grams/bucketing,
+    run the SAME ``lm_bucket_logprobs`` quantizer, replay the integer
+    per-doc sum."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from sparktax.textops import lm_bucket_logprobs
+
+    norm = _NORM.format(c="coalesce(text, '')")
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(g),{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    grams_cte = f"""
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({norm}, ' '), t -> t <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(t || list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks
+        ),
+        bucketed AS (SELECT doc_id, ({u60}) % {buckets} AS bucket FROM grams)
+    """
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW all_docs AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.sql(
+        f"WITH documents AS (SELECT * FROM all_docs WHERE lang = 'en'), "
+        f"{grams_cte} SELECT bucket, count(*) FROM bucketed GROUP BY 1"
+    ).fetchall()
+    c = np.zeros(buckets, dtype=np.int64)
+    for b, n in rows:
+        c[int(b)] = int(n)
+    lp = lm_bucket_logprobs(c)
+    w_values = ", ".join(f"({i}, {int(lp[i])})" for i in range(buckets))
+    return f"""
+        WITH {grams_cte},
+        w(bucket, lq) AS (VALUES {w_values}),
+        scored AS (
+            SELECT doc_id, count(*) AS n_grams, sum(lq) AS s
+            FROM bucketed JOIN w USING (bucket)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               round(-coalesce(s.s, 0) / 1048576.0, 6) AS total_nll
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+
 _ORDER_SEED = 7
 
 
@@ -1534,6 +1610,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "split_corpus": q_split_corpus,
         "dsir_weights": q_dsir_weights,
+        "perplexity": q_perplexity,
         "dedup_spans": q_dedup_spans,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -2847,6 +2924,7 @@ def _maybe_ivf_oracle() -> dict[str, str]:
             "ivfpq_topk": _ivfpq_sql(),
             "semantic_dedup": _semantic_dedup_sql(),
             "dsir_weights": _dsir_sql(),
+            "perplexity": _perplexity_sql(),
         }
     except missing as e:
         import sys

@@ -1570,3 +1570,79 @@ def classify_quality(
             ).alias("keep"),
         )
     )
+
+
+def lm_bucket_logprobs(counts):
+    """Quantized add-1-smoothed unigram-LM log-probs per hash bucket —
+    the deterministic core shared by the Spark lane and the DuckDB oracle
+    builder: logp_b = log((c_b+1)/(T+B)), quantized to ``round(·2²⁰)``
+    int64 (negative) so per-doc totals are summation-order-free."""
+    import numpy as np
+
+    c = np.asarray(counts, dtype=np.float64)
+    logp = np.log(c + 1.0) - np.log(c.sum() + len(c))
+    return np.round(logp * (1 << 20)).astype(np.int64)
+
+
+def perplexity_score(
+    documents: DataFrame,
+    model_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """CCNet-style LM filtering signal (Wenzek et al. 2019,
+    arXiv:1911.00359): per-document cross-entropy under a
+    bag-of-hashed-ngram unigram model of ``model_corpus`` (the stand-in
+    for CCNet's KenLM — same filtering contract, hash-bucket features
+    instead of a 5-gram LM). Returns ``(doc_id, n_grams, total_nll)``
+    where ``total_nll`` is the document's total negative log-likelihood
+    in nats (exact: an integer sum of quantized bucket log-probs divided
+    by the 2²⁰ constant); divide by ``n_grams`` and threshold for the
+    classic head/middle/tail split.
+
+    Scale shape = :func:`importance_weights`: one bounded bucket-count
+    aggregate over the model corpus (exchange carries ≤ ``buckets``
+    rows), a broadcast log-prob table, map-side partial integer sums."""
+    import numpy as np
+
+    def counts(df):
+        rows = (
+            df.select(F.explode(_word_grams(text_col)).alias("_g"))
+            .select(_gram_bucket(F.col("_g"), buckets, hasher).alias("bucket"))
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+        c = np.zeros(buckets, dtype=np.int64)
+        for r in rows:
+            c[int(r["bucket"])] = int(r["count"])
+        return c
+
+    lp = lm_bucket_logprobs(counts(model_corpus))
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, int(lp[i])) for i in range(buckets)], "bucket long, lq long"
+    )
+    scored = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_word_grams(text_col)).alias("_g"),
+        )
+        .select("doc_id", _gram_bucket(F.col("_g"), buckets, hasher).alias("bucket"))
+        .join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("lq").alias("_s"))
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(
+                -F.coalesce(F.col("_s"), F.lit(0)) / F.lit(float(1 << 20)), 6
+            ).alias("total_nll"),
+        )
+    )

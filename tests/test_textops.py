@@ -439,3 +439,52 @@ def test_quality_classifier_vs_python_replica(spark):
     non = [i for i in texts if langs[i] != "en"]
     assert sum(keep[i] for i in en) / len(en) >= 0.85
     assert sum(not keep[i] for i in non) / len(non) >= 0.85
+
+
+def test_perplexity_vs_python_replica(spark):
+    """LM cross-entropy equals an independent hashlib replica, and
+    off-model text scores higher mean NLL than in-model text."""
+    import hashlib
+    import re
+
+    rows = [
+        (0, "the model reads clean english text daily"),
+        (1, "clean english text is what the model reads"),
+        (2, "xqz vbnk ploster grimvat ulxo wrenz"),
+        (3, "the model reads text"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = docs.filter(F.col("doc_id").isin(0, 1))
+    B = 256
+    got = (
+        textops.perplexity_score(docs, model, buckets=B, hasher="md5")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(text):
+        t = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", (text or "").lower())).strip()
+        toks = [w for w in t.split(" ") if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    c = np.zeros(B, dtype=np.int64)
+    for i, t in rows:
+        if i in (0, 1):
+            for g in grams(t):
+                c[bucket(g)] += 1
+    lp = textops.lm_bucket_logprobs(c)
+    mean_nll = {}
+    for i, t in rows:
+        gs = grams(t)
+        s = int(sum(lp[bucket(g)] for g in gs))
+        assert got.n_grams[i] == len(gs)
+        assert got.total_nll[i] == round(-s / (1 << 20), 6)
+        if gs:
+            mean_nll[i] = -s / (1 << 20) / len(gs)
+    # gibberish scores strictly higher mean NLL than in-model docs
+    assert mean_nll[2] > max(mean_nll[0], mean_nll[1], mean_nll[3])
