@@ -311,3 +311,98 @@ def ingest_to_graph(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 4,
+    schema=None,
+) -> DataFrame:
+    """File-source stream of document parquet drops (same downstream code
+    as an Iceberg/Kafka source on a real cluster). ``schema`` defaults to
+    one batch-read of the path (file streams require an explicit schema)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def curate_stream(
+    documents: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float | None = None,
+    classifier: "tuple | None" = None,
+    classifier_hasher: str = "xxhash64",
+    near: bool = False,
+    dedup_params: dict | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus CURATION: documents arrive in micro-batches and
+    the clean corpus grows incrementally at ``out_dir/clean``.
+
+    Per micro-batch, via ``foreachBatch``:
+
+    1. **per-doc gates** (batch-independent, so batch splits can never
+       change the outcome): the heuristic quality gate
+       (:func:`sparktax.textops.quality_score` ≥ ``min_quality``) and/or
+       the learned gate (``classifier=(w_q, b_q)`` from
+       :func:`~sparktax.textops.train_quality_classifier`; its integer
+       logit is deterministic per doc);
+    2. **incremental dedup** against the run's persisted fingerprint
+       index (:func:`~sparktax.textops.dedup_incremental`; ``near=True``
+       adds the MinHash lane — first-seen-wins, same contract note as
+       :func:`ingest_linked_graph`): a doc whose text already passed
+       through ANY earlier batch never lands twice. Gates run FIRST so
+       rejected docs never enter the index;
+    3. **append** survivors to ``out_dir/clean``.
+
+    Two-batch stream ≡ one-batch stream is pytest-asserted
+    (tests/test_streaming_curation.py) — the gates are per-doc and the
+    exact dedup lane is arrival-order-free, so the kept set is a pure
+    function of the input multiset."""
+    from sparktax.textops import (
+        classify_quality,
+        dedup_incremental,
+        quality_score,
+    )
+
+    index_dir = f"{out_dir}/dedup_index"
+    params = dedup_params or {}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df
+        if min_quality is not None:
+            ok = quality_score(batch.withColumnRenamed(id_col, "doc_id"),
+                               text_col).filter(
+                F.col("quality") >= min_quality
+            ).select(F.col("doc_id").alias(id_col))
+            batch = batch.join(ok, id_col, "left_semi")
+        if classifier is not None:
+            w_q, b_q = classifier
+            keep = classify_quality(
+                batch, w_q, b_q, text_col=text_col, id_col=id_col,
+                hasher=classifier_hasher,
+            ).filter(F.col("keep")).select(F.col("doc_id").alias(id_col))
+            batch = batch.join(keep, id_col, "left_semi")
+        kept = dedup_incremental(
+            batch, index_dir, text_col=text_col, id_col=id_col,
+            near=near, **params,
+        )
+        kept.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/clean")
+
+    writer = (
+        documents.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

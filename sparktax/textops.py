@@ -1233,17 +1233,8 @@ def importance_weights(
     device DuckDB replays bit-for-bit (the oracle lane)."""
     import numpy as np
 
-    if hasher == "md5":
-        def bucket(g):
-            return (
-                F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
-                % buckets
-            )
-    elif hasher == "xxhash64":
-        def bucket(g):
-            return F.pmod(F.xxhash64(g), F.lit(buckets))
-    else:
-        raise ValueError(f"hasher must be 'xxhash64' or 'md5', got {hasher!r}")
+    def bucket(g):
+        return _gram_bucket(g, buckets, hasher)
 
     def counts(df):
         rows = (
