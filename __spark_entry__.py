@@ -581,6 +581,120 @@ def _dedup_spans_sql(w: int = 8) -> str:
     """
 
 
+_DOCCLUS_K = 8
+_DOCCLUS_BUCKETS = 2048
+_DOCCLUS_SEED = 42
+
+
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-tf spherical k-means document clustering (the domain-
+    discovery prep) in the md5 lane: sampling, bucketing, the shared
+    numpy Lloyd core and the all-integer assignment replay in DuckDB."""
+    from sparktax.textops import cluster_documents
+
+    return cluster_documents(
+        _t(spark, sf_dir, "documents"),
+        k=_DOCCLUS_K,
+        buckets=_DOCCLUS_BUCKETS,
+        seed=_DOCCLUS_SEED,
+        hasher="md5",
+    )
+
+
+def _doc_clusters_sql() -> str:
+    """DuckDB replica: hashlib md5-rank sampling + duckdb featurization +
+    the shared ``_lloyd`` → quantized centroid VALUES → integer dot
+    argmax with the (s DESC, cluster DESC) tie-break."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from sparktax.simsearch import _lloyd
+
+    K, B, seed = _DOCCLUS_K, _DOCCLUS_BUCKETS, _DOCCLUS_SEED
+    norm = _NORM.format(c="coalesce(text, '')")
+    u60 = " + ".join(
+        f"strpos('123456789abcdef', substr(md5(g),{j + 1},1))::BIGINT"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    grams_cte = f"""
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({norm}, ' '), t -> t <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(t || list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks
+        ),
+        bucketed AS (SELECT doc_id, ({u60}) % {B} AS bucket FROM grams)
+    """
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.sql(
+        f"WITH {grams_cte} SELECT doc_id, bucket, count(*) "
+        f"FROM bucketed GROUP BY 1, 2"
+    ).fetchall()
+    by_doc: dict = {}
+    for d, b, n in rows:
+        by_doc.setdefault(d, []).append((int(b), int(n)))
+
+    def rank(i):
+        return (
+            int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:15], 16),
+            i,
+        )
+
+    all_ids = [r[0] for r in con.sql("SELECT doc_id FROM documents").fetchall()]
+    sample_ids = sorted(sorted(all_ids), key=rank)[:4096]
+    X = np.zeros((len(sample_ids), B))
+    for r, i in enumerate(sorted(sample_ids)):
+        for b, c in by_doc.get(i, []):
+            X[r, b] = c
+    C = _lloyd(X, K, 10, seed)
+    Cq = np.round(C * (1 << 20)).astype(np.int64)
+    w_values = ", ".join(
+        f"({b}, {j}, {int(Cq[j, b])})"
+        for j in range(K)
+        for b in range(B)
+        if Cq[j, b] != 0
+    )
+    return f"""
+        WITH {grams_cte},
+        counts AS (
+            SELECT doc_id, bucket, count(*) AS c
+            FROM bucketed GROUP BY 1, 2
+        ),
+        w(bucket, cluster, wt) AS (VALUES {w_values}),
+        dots AS (
+            SELECT doc_id, cluster, sum(c * wt) AS s
+            FROM counts JOIN w USING (bucket)
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id, cluster,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY s DESC, cluster DESC) AS rk
+            FROM dots
+        )
+        SELECT d.doc_id, coalesce(r.cluster, -1) AS cluster
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, cluster FROM ranked WHERE rk = 1) r
+            USING (doc_id)
+    """
+
+
 _QCLF_BUCKETS = 2048
 _QCLF_SEED = 42
 
@@ -825,6 +939,7 @@ def _maybe_bpe_oracle() -> dict[str, str]:
         )
         merges, docs = _bpe_replica(sf_dir, _BPE_MERGES)
         qclf_sql = _qclf_sql()
+        doc_clusters_sql = _doc_clusters_sql()
     except missing as e:
         import sys
 
@@ -848,6 +963,7 @@ def _maybe_bpe_oracle() -> dict[str, str]:
                 AS t(doc_id, n_bpe_tokens, bpe_md5)
         """,
         "quality_classifier": qclf_sql,
+        "doc_clusters": doc_clusters_sql,
     }
 
 
@@ -1615,6 +1731,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "quality_classifier": q_quality_classifier,
+        "doc_clusters": q_doc_clusters,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

@@ -1637,3 +1637,114 @@ def perplexity_score(
             ).alias("total_nll"),
         )
     )
+
+
+def cluster_documents(
+    documents: DataFrame,
+    k: int = 16,
+    buckets: int = 8192,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: str = "xxhash64",
+    centroids=None,
+) -> DataFrame:
+    """Unsupervised domain/topic clustering over hashed-tf vectors — the
+    domain-discovery step cluster-based mixture reweighting builds on
+    (DoReMi, Xie et al. 2023 arXiv:2305.10429, uses provenance domains;
+    k-means over features is the standard stand-in when provenance is
+    missing). Spherical k-means on l2-normalized hashed 1–2-gram term
+    frequencies; returns ``(doc_id, cluster)``.
+
+    The 100 TB shape (the IVF pattern transplanted to text): centroids
+    train on a BOUNDED hash-rank sample featurized DISTRIBUTED (bucket
+    counts, exchange ≤ sample·doc_len rows); assignment is a narrow
+    explode → broadcast (bucket, cluster, w) join → per-doc argmax — raw
+    integer counts dot quantized centroids, which equals the cosine
+    argmax because each doc's norm is constant across clusters. In
+    ``hasher="md5"`` mode sampling, bucketing and the all-integer
+    assignment replay bit-for-bit in DuckDB."""
+    import numpy as np
+
+    from sparktax.simsearch import _lloyd
+
+    spark = documents.sparkSession
+
+    def rank_expr(idc):
+        if hasher == "md5":
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", idc.cast("string"), F.lit(seed))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+        return F.xxhash64(idc.cast("string"), F.lit(seed))
+
+    if centroids is None:
+        ids = (
+            documents.select(F.col(id_col).alias("_id"))
+            .withColumn("_rk", rank_expr(F.col("_id")))
+            .orderBy("_rk", "_id")
+            .limit(sample)
+            .select("_id")
+        )
+        sampled = documents.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        ).join(ids, "_id", "left_semi")
+        rows = (
+            sampled.select("_id", F.explode(_word_grams("_t")).alias("_g"))
+            .select("_id", _gram_bucket(F.col("_g"), buckets, hasher).alias("b"))
+            .groupBy("_id", "b")
+            .count()
+            .collect()
+        )
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["_id"], []).append(
+                (int(r["b"]), int(r["count"]))
+            )
+        X = np.zeros((len(by_doc), buckets))
+        for i, key in enumerate(sorted(by_doc)):
+            for b, c in by_doc[key]:
+                X[i, b] = c
+        centroids = _lloyd(X, k, iters, seed)
+    Cq = np.round(np.asarray(centroids) * (1 << 20)).astype(np.int64)
+    wrows = [
+        (b, j, int(Cq[j, b]))
+        for j in range(Cq.shape[0])
+        for b in range(Cq.shape[1])
+        if Cq[j, b] != 0
+    ]
+    wdf = spark.createDataFrame(wrows, "bucket long, cluster int, w long")
+    counts = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_word_grams(text_col)).alias("_g"),
+        )
+        .select("doc_id", _gram_bucket(F.col("_g"), buckets, hasher).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    dots = (
+        counts.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id", "cluster")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.desc("cluster"))
+    assigned = (
+        dots.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "cluster")
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(assigned, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster", F.lit(-1)).alias("cluster")
+        )
+    )

@@ -488,3 +488,74 @@ def test_perplexity_vs_python_replica(spark):
             mean_nll[i] = -s / (1 << 20) / len(gs)
     # gibberish scores strictly higher mean NLL than in-model docs
     assert mean_nll[2] > max(mean_nll[0], mean_nll[1], mean_nll[3])
+
+
+def test_cluster_documents_vs_python_replica(spark):
+    """Hashed-tf k-means: engine assignment equals an independent hashlib
+    replica (shared _lloyd core, independent featurize + argmax), and a
+    planted 3-topic corpus clusters with perfect purity."""
+    import hashlib
+    import re
+
+    topics = {
+        0: "stock market trading shares price index fund bond yield",
+        1: "neural network training gradient model layer weight loss",
+        2: "rain storm cloud wind snow forecast sunny temperature cold",
+    }
+    rows = []
+    for d in range(45):
+        words = topics[d % 3].split()
+        text = " ".join(words[(d + j) % len(words)] for j in range(14))
+        rows.append((d, text))
+    rows.append((45, ""))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    K, B, SEED = 3, 512, 42
+    got = (
+        textops.cluster_documents(
+            docs, k=K, buckets=B, seed=SEED, hasher="md5"
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+
+    def grams(text):
+        t = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", " ", (text or "").lower())).strip()
+        toks = [w for w in t.split(" ") if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def rank(i):
+        return (int(hashlib.md5(f"{i}:{SEED}".encode()).hexdigest()[:15], 16), i)
+
+    texts = dict(rows)
+    sample_ids = sorted(sorted(texts), key=rank)[:4096]
+    X = np.zeros((len(sample_ids), B))
+    for r, i in enumerate(sorted(sample_ids)):
+        for g in grams(texts[i]):
+            X[r, bucket(g)] += 1
+    from sparktax.simsearch import _lloyd
+
+    C = _lloyd(X, K, 10, SEED)
+    Cq = np.round(C * (1 << 20)).astype(np.int64)
+    for i, text in texts.items():
+        c = np.zeros(B, dtype=np.int64)
+        for g in grams(text):
+            c[bucket(g)] += 1
+        dots = Cq @ c
+        if (dots > 0).any():
+            best = max(
+                (int(dots[j]), j) for j in range(K) if dots[j] > 0
+            )[1]
+        else:
+            best = -1
+        assert got.loc[i].cluster == best
+    # planted topics come out pure: each topic maps to exactly one cluster
+    by_topic = {
+        t: {int(got.loc[d].cluster) for d, _ in rows[:45] if d % 3 == t}
+        for t in range(3)
+    }
+    assert all(len(v) == 1 for v in by_topic.values())
+    assert len({next(iter(v)) for v in by_topic.values()}) == 3
+    assert got.loc[45].cluster == -1
