@@ -115,3 +115,30 @@ def test_min_count_early_stop(spark):
     # with no merges every doc is raw chars + </w> per word
     assert enc.n_bpe_tokens[0] == 9  # 3 words x (2 chars + </w>)
     assert enc.bpe_text[0].startswith("a b </w>")
+
+
+def test_encode_word_roundtrip_property():
+    """Property (hypothesis): for ANY word and ANY merge table, the
+    encoded symbols concatenate back to word + '</w>' — BPE never loses
+    or duplicates characters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        word=st.text(alphabet="abcd", min_size=1, max_size=12),
+        pair_seed=st.integers(0, 10**6),
+    )
+    def check(word, pair_seed):
+        import random
+
+        rng = random.Random(pair_seed)
+        syms = ["a", "b", "c", "d", "</w>", "ab", "cd", "bc", "abc"]
+        merges = []
+        for rank in range(rng.randint(0, 8)):
+            merges.append((rng.choice(syms), rng.choice(syms)))
+        rank_of = {p: r for r, p in enumerate(dict.fromkeys(merges))}
+        out = bpe.bpe_encode_word(word, rank_of)
+        assert "".join(out) == word + "</w>"
+
+    check()
