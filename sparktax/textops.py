@@ -1175,20 +1175,21 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
 
 def _word_grams(text_col: str):
     """array<string> of word unigrams + bigrams over the normalized text
-    (the DSIR feature space: hashed 1–2-grams, Xie et al. 2023 §3)."""
-    toks = F.filter(
-        tokens_expr(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
-    )
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bi)
+    (the DSIR feature space: hashed 1–2-grams, Xie et al. 2023 §3).
+
+    Both gram sets come from codegen'd regex extraction over the
+    single-spaced normalized string — the overlapping-bigram trick is a
+    zero-width lookahead anchored at token starts (``(?<!\\S)``), so NO
+    higher-order lambda runs: the first version built bigrams with
+    ``transform(sequence, concat_ws(element_at...))`` and Catalyst's
+    interpreted HOF evaluation made it ~50× slower (measured 14.5 s vs
+    0.3 s for the plain token explode on a 20k-doc corpus — the same
+    round-2 lesson as the SimHash rewrite). Gram VALUES are unchanged, so
+    the DuckDB oracles (which build grams with list ops) still match."""
+    norm = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    unigrams = F.regexp_extract_all(norm, F.lit(r"\S+"), 0)
+    bigrams = F.regexp_extract_all(norm, F.lit(r"(?<!\S)(?=(\S+ \S+))"), 1)
+    return F.concat(unigrams, bigrams)
 
 
 def dsir_bucket_weights(ct, cr):
