@@ -1048,6 +1048,49 @@ def _dsir_sql(buckets: int = 4096) -> str:
     """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DSIR top-70% selection on the quantized score grid —
+    parallelism-independent (the approxQuantile-drift fix): kept set is
+    a pure function of the input multiset."""
+    from sparktax.textops import importance_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_select(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        keep_frac=0.7,
+        buckets=4096,
+        hasher="md5",
+    )
+
+
+def _dsir_select_sql() -> str:
+    """DuckDB replica: the distributed grid-threshold + tie-band rule is
+    EQUIVALENT to the simple global ranking (qv DESC, doc_id ASC) ≤
+    n_keep — fine for the oracle at sf0.01, a single-partition sort the
+    engine deliberately avoids at scale."""
+    import duckdb
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_keep = int(n * 0.7)  # same float op as the engine's python
+    return f"""
+        WITH scored AS ({_dsir_sql()}),
+        q AS (
+            SELECT doc_id, logratio,
+                   round(logratio * 1048576)::BIGINT AS qv
+            FROM scored
+        )
+        SELECT doc_id, logratio FROM q
+        QUALIFY row_number() OVER (ORDER BY qv DESC, doc_id) <= {n_keep}
+    """
+
+
 def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style hashed-ngram LM cross-entropy (Wenzek et al. 2019):
     model = the English subset; md5 buckets + quantized log-probs make
@@ -1727,6 +1770,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": q_split_corpus,
         "dsir_weights": q_dsir_weights,
         "perplexity": q_perplexity,
+        "dsir_select": q_dsir_select,
         "dedup_spans": q_dedup_spans,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -3042,6 +3086,7 @@ def _maybe_ivf_oracle() -> dict[str, str]:
             "semantic_dedup": _semantic_dedup_sql(),
             "dsir_weights": _dsir_sql(),
             "perplexity": _perplexity_sql(),
+            "dsir_select": _dsir_select_sql(),
         }
     except missing as e:
         import sys

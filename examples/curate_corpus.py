@@ -27,7 +27,7 @@ from sparktax.textops import (  # noqa: E402
     decontaminated,
     dedup_exact,
     dedup_spans,
-    importance_weights,
+    importance_select,
     language_id,
     minhash_near_duplicates,
     prepare_training_corpus,
@@ -90,15 +90,15 @@ def main() -> None:
     )
     n3 = docs.count()
 
-    # 3b. DSIR importance selection: score every doc against the English
-    # subset as target; keep the top 80% (approxQuantile = distributed
-    # sketch, driver-safe at any scale)
-    scored = importance_weights(docs, docs.filter(F.col("lang") == "en"))
-    thr = scored.approxQuantile("logratio", [0.2], 0.01)[0]
+    # 3b. DSIR importance selection: keep the top 80% by importance
+    # weight vs the English target — EXACT on the quantized score grid,
+    # so the kept set is identical at any parallelism (approxQuantile's
+    # sketch drifts with partition count)
+    sel = importance_select(
+        docs, docs.filter(F.col("lang") == "en"), keep_frac=0.8
+    )
     docs = docs.join(
-        scored.filter(F.col("logratio") >= thr).select("doc_id"),
-        "doc_id",
-        "left_semi",
+        sel.select("doc_id"), "doc_id", "left_semi"
     ).localCheckpoint()
     n3b = docs.count()
 

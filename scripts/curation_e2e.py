@@ -70,7 +70,7 @@ import sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from sparktax.session import get_spark
-from sparktax.textops import (dedup_exact, dedup_spans, importance_weights,
+from sparktax.textops import (dedup_exact, dedup_spans, importance_select,
                               quality_score)
 cores, path = sys.argv[1], sys.argv[2]
 spark = get_spark(app="curation-e2e-run", cores=cores)
@@ -88,10 +88,9 @@ def job():
           .withColumn("text", F.col("clean_text")).drop("clean_text")
           .filter(F.length("text") > 0))
     d = d.localCheckpoint()  # stage boundary: scoring runs 2 count jobs
-    scored = importance_weights(d, d.filter(F.col("lang") == "en"))
-    thr = scored.approxQuantile("logratio", [0.2], 0.01)[0]
-    kept = d.join(scored.filter(F.col("logratio") >= thr).select("doc_id"),
-                  "doc_id", "left_semi")
+    sel = importance_select(d, d.filter(F.col("lang") == "en"),
+                            keep_frac=0.8)
+    kept = d.join(sel.select("doc_id"), "doc_id", "left_semi")
     row = kept.agg(F.count("*").alias("n"),
                    F.bit_xor(F.xxhash64("text")).alias("sig")).first()
     return row["n"]

@@ -1749,3 +1749,61 @@ def cluster_documents(
             "doc_id", F.coalesce("cluster", F.lit(-1)).alias("cluster")
         )
     )
+
+
+def importance_select(
+    raw: DataFrame,
+    target: DataFrame,
+    keep_frac: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """DSIR selection: keep the ``keep_frac`` of raw docs with the
+    highest importance weights — EXACTLY and parallelism-independently.
+
+    ``approxQuantile`` thresholds drift with partition count (its
+    distributed sketch merges in partition order: the 2M-doc chain probe
+    kept 1,609,509 docs at 8 cores vs 1,609,717 at 32). This instead
+    aggregates doc counts onto the quantized integer score grid
+    (``logratio_q = logratio·2²⁰``, already exact), takes the threshold
+    from a cumulative window over that bounded table (≤ distinct scores
+    rows — no driver collect), and keeps docs strictly above it plus
+    enough tie-band docs (smallest ``doc_id`` first) to hit the exact
+    count — a pure function of the input multiset at ANY parallelism.
+
+    Returns the kept ``(doc_id, logratio)`` rows."""
+    # localCheckpoint: the threshold logic below runs several actions
+    # (count, grid agg, tie limit, final union) — without materializing,
+    # each re-executes the WHOLE scoring plan over the corpus (measured
+    # +48% on the 2M-doc chain; the pack_sequences 3-pass lesson). The
+    # checkpointed table is one narrow row per doc.
+    scored = importance_weights(
+        raw, target, text_col=text_col, id_col=id_col,
+        buckets=buckets, hasher=hasher,
+    ).withColumn(
+        "_q", F.round(F.col("logratio") * (1 << 20)).cast("long")
+    ).localCheckpoint()
+    n = scored.count()
+    n_keep = int(n * keep_frac)
+    if n_keep <= 0:
+        return scored.filter(F.lit(False)).select("doc_id", "logratio")
+    grid = scored.groupBy("_q").agg(F.count("*").alias("c"))
+    wdesc = (
+        Window.orderBy(F.desc("_q"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.withColumn("cum", F.sum("c").over(wdesc))
+    thr_row = (
+        cum.filter(F.col("cum") >= n_keep).orderBy(F.desc("_q")).first()
+    )
+    thr = thr_row["_q"]
+    above = scored.filter(F.col("_q") > thr)
+    n_above = above.count()
+    ties = (
+        scored.filter(F.col("_q") == thr)
+        .orderBy(F.asc("doc_id"))
+        .limit(n_keep - n_above)
+    )
+    return above.unionByName(ties).select("doc_id", "logratio")

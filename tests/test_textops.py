@@ -559,3 +559,36 @@ def test_cluster_documents_vs_python_replica(spark):
     assert all(len(v) == 1 for v in by_topic.values())
     assert len({next(iter(v)) for v in by_topic.values()}) == 3
     assert got.loc[45].cluster == -1
+
+
+def test_importance_select_exact_and_parallelism_independent(spark):
+    """importance_select keeps EXACTLY floor(n*frac) docs and returns the
+    same set at any partitioning (the approxQuantile drift it replaces),
+    matching a python replica of the grid-threshold rule."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    a = textops.importance_select(
+        docs.repartition(2), target, keep_frac=0.7, buckets=512, hasher="md5"
+    ).toPandas()
+    b = textops.importance_select(
+        docs.repartition(17), target.repartition(5), keep_frac=0.7,
+        buckets=512, hasher="md5",
+    ).toPandas()
+    n = docs.count()
+    assert len(a) == len(b) == int(n * 0.7)
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+
+    # replica: threshold on the quantized grid, ties by smallest doc_id
+    scored = textops.importance_weights(
+        docs, target, buckets=512, hasher="md5"
+    ).toPandas()
+    scored["q"] = (scored.logratio * (1 << 20)).round().astype("int64")
+    want_n = int(n * 0.7)
+    order = scored.sort_values(["q", "doc_id"], ascending=[False, True])
+    want = set(order.doc_id.iloc[:want_n])
+    # the tie band is cut by doc_id: replica must apply the same rule
+    thr = order.q.iloc[want_n - 1]
+    above = set(order[order.q > thr].doc_id)
+    ties = sorted(order[order.q == thr].doc_id)[: want_n - len(above)]
+    want = above | set(ties)
+    assert set(a.doc_id) == want
