@@ -1326,14 +1326,22 @@ def dedup_spans(
     )
     base = documents.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
     n = F.size("_t")
-    warr = F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(0), n - w),
-            lambda i: whash(F.array_join(F.slice("_t", i + 1, w), " ")),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    wins = base.select("doc_id", F.posexplode(warr).alias("pos", "whash"))
+    # window TEXTS come from one codegen'd lookahead-regex pass over the
+    # single-spaced normalized string (the _word_grams device: the first
+    # version sliced+joined per window inside an interpreted transform
+    # lambda); the array index from posexplode IS the window's token
+    # position, because every token start except the last w−1 opens one
+    # window. Hashes are then a plain codegen projection.
+    win_re = rf"(?<!\S)(?=((?:\S+ ){{{w - 1}}}\S+))"
+    wtexts = F.regexp_extract_all(
+        normalized_text(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(win_re),
+        1,
+    )
+    wins = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(wtexts).alias("pos", "_wt"),
+    ).select("doc_id", "pos", whash(F.col("_wt")).alias("whash"))
     key = F.col("doc_id") * (1 << 20) + F.col("pos")
     firsts = (
         wins.groupBy("whash")
