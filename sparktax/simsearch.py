@@ -715,6 +715,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: "np.ndarray | None" = None,
     assign_mode: str = "float",
+    keep: str = "first",
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into ``n_cells`` k-means cells,
@@ -722,10 +723,13 @@ def semantic_dedup(
     same-cell vector is ≥ ``threshold``. Returns the KEPT rows as
     ``(id, cell)``.
 
-    The smaller-id suppression rule (rather than the paper's
-    keep-farthest-from-centroid) matches :func:`sparktax.textops.dedup_near`:
-    a vector's fate depends only on vectors ordered before it, which keeps
-    the operation incremental-friendly and deterministic across engines.
+    ``keep="first"`` (default) suppresses by smaller id — matching
+    :func:`sparktax.textops.dedup_near`: a vector's fate depends only on
+    vectors ordered before it, which keeps the operation
+    incremental-friendly and deterministic across engines.
+    ``keep="centroid_far"`` is the paper's own rule (keep the member
+    farthest from the cluster centroid — the least prototypical, so
+    diversity survives dedup).
 
     The 100 TB shape: the only pairwise work is a self-equi-join on
     ``cell`` — never a global cross join. Cell population is ~N/n_cells, so
@@ -756,10 +760,48 @@ def semantic_dedup(
         )
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
     withv = cells.join(e, "id")
+    if keep == "first":
+        # smaller id suppresses: incremental-friendly (see above)
+        ranked = withv.withColumn("_ord", F.col("id"))
+    elif keep == "centroid_far":
+        # the paper's rule (arXiv:2303.09540 §3): within each duplicate
+        # group keep the example FARTHEST from its cluster centroid (low
+        # cosine-to-centroid examples are the least prototypical, so
+        # keeping them preserves diversity). Implemented as a rerank of
+        # the same suppression sweep: members ordered by (cosine-to-
+        # centroid ASC, id ASC), earlier-ordered members suppress.
+        import numpy as np
+
+        spark = embeddings.sparkSession
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (j, [float(x) for x in np.asarray(centroids)[j]])
+                    for j in range(len(centroids))
+                ],
+                "cell int, _cv array<double>",
+            )
+        )
+        csim = pair_cosine(
+            withv.join(cdf, "cell").select("id", "cell", "_v", "_cv"),
+            "_v",
+            "_cv",
+            ["id"],
+            out="_csim",
+        )
+        w = Window.partitionBy("cell").orderBy(F.asc("_csim"), F.asc("id"))
+        ranked = (
+            withv.join(csim, "id")
+            .withColumn("_ord", F.row_number().over(w))
+        )
+    else:
+        raise ValueError(
+            f"keep must be 'first' or 'centroid_far', got {keep!r}"
+        )
     pairs = (
-        withv.alias("x")
-        .join(withv.alias("y"), "cell")
-        .filter(F.col("x.id") < F.col("y.id"))
+        ranked.alias("x")
+        .join(ranked.alias("y"), "cell")
+        .filter(F.col("x._ord") < F.col("y._ord"))
         .select(
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),

@@ -333,3 +333,46 @@ def test_semantic_dedup_vs_numpy(spark, emb):
     # cells reported match the numpy assignment
     cell_of = {ids[i]: cell[i] for i in range(len(ids))}
     assert all(cell_of[r.id] == r.cell for r in kept.itertuples())
+
+
+def test_semantic_dedup_centroid_far_policy(spark, emb):
+    """keep='centroid_far' (the paper's rule): within each cell, members
+    ordered by (cosine-to-centroid ASC, id) — earlier suppress later.
+    Verified against a numpy replica of the reordered sweep."""
+    from sparktax.simsearch import semantic_dedup, train_ivf_centroids
+
+    docs = emb.select("vec_id", "embedding").cache()
+    thr, cells_n = 0.4, 4
+    C = train_ivf_centroids(docs, cells_n, 4096, seed=11)
+    kept = (
+        semantic_dedup(
+            docs, threshold=thr, n_cells=cells_n, seed=11,
+            centroids=C, keep="centroid_far",
+        )
+        .toPandas()
+        .sort_values("id")
+    )
+
+    pdf = docs.toPandas()
+    E = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    dots = E @ C.T
+    cell = np.array(
+        [int(np.lexsort((-(np.arange(cells_n)), -dots[i]))[0]) for i in range(len(ids))]
+    )
+    M = E / np.linalg.norm(E, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    csim = np.array([round(float(M[i] @ Cn[cell[i]]), 6) for i in range(len(ids))])
+    kept_ids = []
+    for c in range(cells_n):
+        members = sorted(
+            (i for i in range(len(ids)) if cell[i] == c),
+            key=lambda i: (csim[i], ids[i]),
+        )
+        for r, i in enumerate(members):
+            if any(
+                round(float(M[j] @ M[i]), 6) >= thr for j in members[:r]
+            ):
+                continue
+            kept_ids.append(ids[i])
+    assert list(kept.id) == sorted(kept_ids)
