@@ -93,3 +93,58 @@ def test_classifier_gate(spark, tmp_path, drops):
     ids = [i for i, _ in _kept(spark, out)]
     # learned gate keeps the fox docs, drops the junk; dedup still fires
     assert ids == [0, 1, 2, 3, 4, 5, 7, 9]
+
+
+def test_near_dedup_composes_with_classifier(spark, tmp_path):
+    """near=True (MinHash lane) + learned gate together: a REWORDED
+    replay of a kept doc is suppressed, distinct docs survive, junk is
+    gated. Docs must be mutually DISSIMILAR (the two-batch fixture's
+    near-identical template docs would all collapse into one)."""
+    import random
+
+    from sparktax.textops import train_quality_classifier
+
+    rng = random.Random(3)
+    vocab = [f"word{i}" for i in range(300)]
+
+    def distinct(i):
+        rng2 = random.Random(i)
+        return " ".join(rng2.sample(vocab, 25))
+
+    first = [(i, distinct(i), "s") for i in range(5)]
+    reworded = distinct(2).replace("word", "term", 1)  # one token changed
+    second = [
+        (200, reworded, "s"),          # near-replay of doc 2
+        (5, distinct(5), "s"),
+        (6, "zz qq " * 4, "s"),        # junk for the classifier
+    ]
+    path = str(tmp_path / "neardocs")
+    schema = "doc_id long, text string, source string"
+    spark.createDataFrame(first, schema).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(second, schema).write.mode("append").parquet(path)
+
+    pos = spark.createDataFrame(
+        [(1000 + i, distinct(1000 + i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, "zz qq xx " * 3) for i in range(2000, 2020)],
+        "doc_id long, text string",
+    )
+    wq, bq = train_quality_classifier(pos, neg, buckets=256, hasher="md5")
+    out = str(tmp_path / "near_clf")
+    q = curate_stream(
+        read_document_stream(spark, path, max_files_per_trigger=1),
+        out,
+        checkpoint_dir=str(tmp_path / "c4"),
+        classifier=(wq, bq),
+        classifier_hasher="md5",
+        near=True,
+        dedup_params={"threshold": 0.6, "n": 4, "k": 64, "bands": 16},
+    )
+    q.awaitTermination(180)
+    ids = [i for i, _ in _kept(spark, out)]
+    assert 200 not in ids          # reworded replay suppressed by near lane
+    assert 2 in ids                # the original survived
+    assert 6 not in ids            # junk still gated
+    assert 5 in ids                # distinct late arrival survives

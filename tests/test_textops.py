@@ -592,3 +592,15 @@ def test_importance_select_exact_and_parallelism_independent(spark):
     ties = sorted(order[order.q == thr].doc_id)[: want_n - len(above)]
     want = above | set(ties)
     assert set(a.doc_id) == want
+
+
+def test_importance_select_edge_fracs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with words {i % 3}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") < 3)
+    none = textops.importance_select(docs, target, keep_frac=0.0, buckets=64)
+    assert none.count() == 0
+    allof = textops.importance_select(docs, target, keep_frac=1.0, buckets=64)
+    assert allof.count() == 10
