@@ -758,6 +758,7 @@ def pack_sequences(
     n_ranges: int | None = None,
     materialize: bool = True,
     carry_cols: "list[str] | None" = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, seq_id, seq_offset, end_seq_id) — assign each
     document its position in the packed token stream: docs concatenate
@@ -776,9 +777,10 @@ def pack_sequences(
     CASE. Integer arithmetic end-to-end, so the two-level sum is
     bit-equal to the global cumsum any other engine computes directly.
 
-    Token count = whitespace tokens (swap in a real tokenizer count
-    column upstream if available — pass its table through ``text_col``
-    semantics unchanged).
+    Token count = whitespace tokens by default; pass ``n_tokens_col``
+    to budget on a REAL tokenizer count instead (e.g. ``n_bpe_tokens``
+    from :func:`sparktax.bpe.encode_bpe` — see
+    :func:`prepare_training_corpus`'s ``bpe_merges``).
 
     ``materialize`` (default True): the operator needs THREE passes over
     ``(id, n_tokens)`` — min/max of the id domain, per-range totals, and
@@ -793,8 +795,11 @@ def pack_sequences(
     unchanged (rides the materialized base — NO re-execution of the
     upstream plan and no join-back, which would run it again)."""
     carry = carry_cols or []
-    txt = F.coalesce(F.col(text_col), F.lit(""))
-    n = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != "")).cast("long")
+    if n_tokens_col is not None:
+        n = F.col(n_tokens_col).cast("long")
+    else:
+        txt = F.coalesce(F.col(text_col), F.lit(""))
+        n = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != "")).cast("long")
     base = documents.select(F.col(id_col), *carry, n.alias("n_tokens"))
     if materialize:
         base = base.localCheckpoint(eager=True)
@@ -1109,6 +1114,7 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     domain_col: str = "source",
     default_weight: float = 0.0,
+    bpe_merges: DataFrame | None = None,
 ) -> DataFrame:
     """One-call training-prep chain: :func:`mix_corpora` (domain-weighted
     up/down-sampling, seed) → :func:`training_order` (seed+1; copies get
@@ -1123,7 +1129,14 @@ def prepare_training_corpus(
     n_shards, budget, seed). Scale: one corpus shuffle (the shard
     exchange) + per-shard sorts + the two-level pack prefix sum; the
     shard key is hash-uniform by construction, so domain skew in the
-    input CANNOT skew the shuffle."""
+    input CANNOT skew the shuffle.
+
+    ``bpe_merges``: a trained merge table (:func:`sparktax.bpe.train_bpe`)
+    switches the pack budget from whitespace tokens to REAL BPE token
+    counts — each distinct doc is tokenized once
+    (:func:`sparktax.bpe.encode_bpe` on the pre-mix corpus, cost ∝
+    vocabulary) and copies inherit the count through a broadcast-friendly
+    join, so sequences hold exactly ``budget`` model tokens."""
     mixed = mix_corpora(
         documents,
         weights,
@@ -1143,12 +1156,22 @@ def prepare_training_corpus(
     stream = ordered.select(
         gid, id_col, "copy_idx", "shard_id", "pos", text_col
     )
+    n_tokens_col = None
+    if bpe_merges is not None:
+        from sparktax.bpe import encode_bpe
+
+        counts = encode_bpe(
+            documents, bpe_merges, text_col=text_col, id_col=id_col
+        ).select(id_col, F.col("n_bpe_tokens").alias("_n_bpe"))
+        stream = stream.join(counts, id_col)
+        n_tokens_col = "_n_bpe"
     packed = pack_sequences(
         stream,
         budget=budget,
         text_col=text_col,
         id_col="_gid",
         carry_cols=[id_col, "copy_idx", "shard_id", "pos"],
+        n_tokens_col=n_tokens_col,
     )
     return packed.select(
         id_col,

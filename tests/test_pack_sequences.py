@@ -109,3 +109,41 @@ def test_no_single_partition_window(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_prepare_with_bpe_budget(spark):
+    """bpe_merges switches the pack budget to real BPE token counts:
+    per-doc n_tokens equals encode_bpe's count (copies inherit it), and
+    the packed stream is the exact cumulative layout of those counts."""
+    from pyspark.sql import functions as F
+
+    from sparktax.bpe import encode_bpe, train_bpe
+    from sparktax.textops import prepare_training_corpus
+
+    rows = [
+        (i, "the cat sat on the mat rat bat " * (1 + i % 3), f"src{i % 2}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    merges = train_bpe(docs, n_merges=10)
+    want = {
+        r.doc_id: r.n_bpe_tokens
+        for r in encode_bpe(docs, merges).collect()
+    }
+    packed = prepare_training_corpus(
+        docs,
+        weights={"src0": 1.0, "src1": 2.0},
+        n_shards=4,
+        budget=64,
+        seed=5,
+        bpe_merges=merges,
+    ).toPandas()
+    assert (packed.n_tokens == packed.doc_id.map(want)).all()
+    # exact cumulative layout: walking (shard, pos) order reproduces
+    # every seq_id/seq_offset from the counts alone
+    packed = packed.sort_values(["shard_id", "pos"]).reset_index(drop=True)
+    cum = 0
+    for r in packed.itertuples():
+        assert r.seq_id == cum // 64 and r.seq_offset == cum % 64
+        cum += r.n_tokens
+        assert r.end_seq_id == (cum - 1) // 64 if r.n_tokens else True
