@@ -69,8 +69,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _transcripts_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcript turns: one turn per lineitem row whose text
-    embeds a 'S<suppkey> supplies_part P<partkey>.' statement."""
-    li = _t(spark, sf_dir, "lineitem")
+    embeds a 'S<suppkey> supplies_part P<partkey>.' statement.
+
+    The testdata parquet is single-row-group, so the scan plans ONE task and
+    the downstream Arrow extraction kernel would run on one core; fan the
+    five narrow source columns out first (scale-adaptive: a no-op whenever
+    the input already carries ≥ defaultParallelism splits) so the shuffle
+    moves ints + a date, never the synthesized text."""
+    from sparktax.session import fan_out
+
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_shipdate"
+        )
+    )
     return li.select(
         F.col("l_orderkey").cast("string").alias("conv_id"),
         F.col("l_linenumber").cast("int").alias("turn_idx"),
@@ -1743,7 +1755,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Declared queries. ORDER MATTERS for evidence coverage: the driver's
+    correctness gate records at most ~50 rows per round in file order, so
+    the queries it has never checked (the PQ family: pq_topk, ivfpq_topk,
+    ivf_topk_indexed — green only in the local replica through round 5) and
+    the 12 rows it skipped in round 5 lead the dict; the long-green
+    remainder follows in the original order. Rotate least-recently-checked
+    queries forward in future rounds."""
     return {
+        # --- never in a driver CORRECTNESS file (round-5 verdict task 2) ---
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "ivf_topk_indexed": q_ivf_topk_indexed,
+        # --- skipped by the driver's 50-row cap in round 5 ---
+        "centroid_distances": q_centroid_distances,
+        "ivf_full_probe": q_ivf_full_probe,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "media_features": q_media_features,
+        "minhash_neardup": q_minhash_neardup,
+        "sample_deterministic": q_sample_deterministic,
+        "simhash": q_simhash,
+        "taxonomy_blobs": q_taxonomy_blobs,
+        # --- driver-checked green in round 5 ---
         "extract_triples": q_extract_triples,
         "extract_contextual": q_extract_contextual,
         "kg_class_sizes": q_kg_class_sizes,
@@ -1794,18 +1828,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_matrix": q_rank_matrix,
         "type_freq_topk": q_type_freq_topk,
         "centroids": q_centroids,
-        "centroid_distances": q_centroid_distances,
-        "sample_deterministic": q_sample_deterministic,
-        "minhash_neardup": q_minhash_neardup,
-        "simhash": q_simhash,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
-        "ivf_topk_indexed": q_ivf_topk_indexed,
-        "ivf_full_probe": q_ivf_full_probe,
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "media_features": q_media_features,
-        "taxonomy_blobs": q_taxonomy_blobs,
     }
 
 

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """For every node u: connect all *larger* neighbors to min(Γ(u) ∪ {u})."""
+    """For every node u: connect all *larger* neighbors to min(Γ(u) ∪ {u}).
+
+    No ``distinct`` here: duplicate edges are harmless downstream (the
+    small-star ``min`` aggregates are idempotent and its final ``distinct``
+    canonicalizes the round's output), so deduplicating mid-round would pay
+    a full extra exchange per iteration for nothing.
+    """
     und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         und.groupBy("u")
@@ -28,7 +34,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         und.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -85,11 +90,14 @@ def _cc_loop(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # consumed exactly once (the final left join) — checkpointing it would
+    # add an eager materialization action for a plan that is one narrow
+    # scan + union + distinct deep
     all_nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-    ).localCheckpoint()
+    )
 
     def signature(df: DataFrame) -> tuple[int, int]:
         # bit_xor: order-insensitive and overflow-free (ANSI-safe)

