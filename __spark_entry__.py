@@ -71,18 +71,12 @@ def _transcripts_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcript turns: one turn per lineitem row whose text
     embeds a 'S<suppkey> supplies_part P<partkey>.' statement.
 
-    The testdata parquet is single-row-group, so the scan plans ONE task and
-    the downstream Arrow extraction kernel would run on one core; fan the
-    five narrow source columns out first (scale-adaptive: a no-op whenever
-    the input already carries ≥ defaultParallelism splits) so the shuffle
-    moves ints + a date, never the synthesized text."""
-    from sparktax.session import fan_out
-
-    li = fan_out(
-        _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey", "l_shipdate"
-        )
-    )
+    (Round-6 A/B note: fanning the narrow source out before the Arrow
+    kernel was measured WORSE at sf0.1 in alternating same-box bench pairs
+    — 1.54 s → 1.83 s — the extraction kernel clears ~500k rows/s in one
+    worker, so the repartition exchange + 32 Python-worker round-trips cost
+    more than the single task they replace. Left unfanned.)"""
+    li = _t(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").cast("string").alias("conv_id"),
         F.col("l_linenumber").cast("int").alias("turn_idx"),

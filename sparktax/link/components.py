@@ -19,11 +19,12 @@ from pyspark.sql import functions as F
 def _large_star(edges: DataFrame) -> DataFrame:
     """For every node u: connect all *larger* neighbors to min(Γ(u) ∪ {u}).
 
-    No ``distinct`` here: duplicate edges are harmless downstream (the
-    small-star ``min`` aggregates are idempotent and its final ``distinct``
-    canonicalizes the round's output), so deduplicating mid-round would pay
-    a full extra exchange per iteration for nothing.
-    """
+    (Round-6 A/B note: dropping this ``distinct`` — correct, since the
+    small-star min-aggs are idempotent and its final distinct
+    canonicalizes the round — was measured WORSE in alternating same-box
+    bench pairs (2.36 s → 3.00 s): the duplicate (v, m) rows it would
+    admit inflate the small-star join volume by more than the exchange
+    costs. Kept.)"""
     und = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = (
         und.groupBy("u")
@@ -34,6 +35,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
         und.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
     )
 
 

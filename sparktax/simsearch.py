@@ -89,20 +89,13 @@ def cosine_topk(
     for each query row (excluding self). ``queries`` has the same schema as
     ``embeddings`` and is small → broadcast against the corpus (a narrow
     scan, no shuffle of the corpus)."""
-    from sparktax.session import fan_out
-
     q = broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
     )
-    # single-row-group local inputs plan a one-task scan; the broadcast
-    # join + posexplode aggregate would then run on one core (no-op at
-    # production split counts)
-    cand = fan_out(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-        )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     pairs = cand.join(q, F.col("neighbor_id") != F.col("query_id"))
     scored = pair_cosine(pairs, "_qv", "_cv", ["query_id", "neighbor_id"])
@@ -805,6 +798,15 @@ def semantic_dedup(
         raise ValueError(
             f"keep must be 'first' or 'centroid_far', got {keep!r}"
         )
+    # pin the self-join's exchange width: the join INPUT is a few KB of
+    # (id, cell, vec) rows, so AQE's byte-based coalescing would collapse
+    # it to one partition — but the join OUTPUT is quadratic per cell and
+    # the per-pair cosine runs inside the same stage. A user-specified
+    # partition count disables AQE coalescing for exactly this exchange.
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranked = ranked.repartition(n_part, "cell")
     pairs = (
         ranked.alias("x")
         .join(ranked.alias("y"), "cell")

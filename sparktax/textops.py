@@ -352,11 +352,11 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # their hashes — count("lo") skips NULLs and the vote sums coalesce
     # NULL→0, so empty tokens contribute nothing and whitespace-only docs
     # still land one row (simhash 0), exactly like the filtered form.
-    from sparktax.session import fan_out
-
+    # (No fan-out here: measured A/B at sf0.1 showed the repartition's
+    # exchange + scheduling cost exceeds the single-task compute it
+    # parallelizes — 1.90 s vs 1.62 s best-of-3.)
     toks = F.split(F.lower(txt), r"\s+")
     md5h = F.when(F.col("tok") != "", F.md5(F.col("tok")))
-    documents = fan_out(documents.select("doc_id", F.col(text_col)))
     tok = documents.select("doc_id", F.explode_outer(toks).alias("tok")).select(
         "doc_id",
         F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long").alias("hi"),
