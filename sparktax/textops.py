@@ -445,13 +445,14 @@ def winnow_fingerprints(
     DuckDB oracle reproduces it bit-for-bit.
     """
     norm = F.lower(F.coalesce(F.col(text_col), F.lit("")))
-    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+    # one codegen'd lookahead-regex pass per doc (the char_grams device;
+    # match order == position order, so posexplode indices are unchanged);
+    # the interpreted transform(sequence, substr) lambda this replaces ran
+    # once per character position. Short docs yield the empty array, as
+    # before.
     grams = F.when(
         F.length(norm) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (k - 1)),
-            lambda i: norm.substr(i, F.lit(k)),
-        ),
+        F.regexp_extract_all(norm, F.lit(f"(?s)(?=(.{{{k}}}))"), 1),
     ).otherwise(F.array().cast("array<string>"))
     pos_gram = documents.select(
         F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("i", "gram")
@@ -597,12 +598,19 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens_expr(txt)
     n_chars = F.length(txt)
-    n_tokens = F.size(F.filter(toks, lambda t: t != ""))
+    # token + stopword counts via codegen'd regexp_count over the
+    # single-spaced normalized string instead of interpreted per-token
+    # array-filter lambdas: \S+ runs ARE the tokens, and each stopword
+    # token is matched exactly once (the leading separator is consumed,
+    # the trailing one only looked-ahead, so adjacent stopwords all
+    # count). Value-identical to the filter forms — pinned by the
+    # differential test and the quality_score oracle.
+    norm = normalized_text(txt)
+    n_tokens = F.regexp_count(norm, F.lit(r"\S+"))
     punct = F.length(txt) - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
     all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(all_stop))
-    )
+    stop_re = r"(?:^| )(?:" + "|".join(all_stop) + r")(?= |$)"
+    stop_hits = F.regexp_count(norm, F.lit(stop_re))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0)
     avg_tok = F.when(n_tokens > 0, (F.length(F.array_join(toks, ""))) / n_tokens).otherwise(0.0)
@@ -630,7 +638,9 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     BPE-ish regex count (letter runs, single digits, punctuation marks —
     a cheap proxy for subword token cost)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    ws = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != ""))
+    # \S+ runs == the non-empty whitespace-split tokens (codegen count,
+    # no interpreted array-filter lambda)
+    ws = F.regexp_count(txt, F.lit(r"\S+"))
     bpe = F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), 0))
     return documents.select(
         "doc_id",
@@ -654,9 +664,11 @@ def repetition_signals(documents: DataFrame, text_col: str = "text") -> DataFram
     txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     toks = documents.select(
         "doc_id",
-        F.posexplode(
-            F.filter(F.split(txt, r"\s+"), lambda t: t != "")
-        ).alias("pos", "tok"),
+        # regexp_extract_all(\S+) IS split-then-drop-empties, in order —
+        # codegen, no interpreted array-filter lambda per token
+        F.posexplode(F.regexp_extract_all(txt, F.lit(r"\S+"), 0)).alias(
+            "pos", "tok"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
@@ -807,7 +819,10 @@ def pack_sequences(
         n = F.col(n_tokens_col).cast("long")
     else:
         txt = F.coalesce(F.col(text_col), F.lit(""))
-        n = F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != "")).cast("long")
+        # \S+ runs are exactly the non-empty whitespace-split tokens —
+        # one codegen'd regexp_count instead of an interpreted per-token
+        # array-filter lambda
+        n = F.regexp_count(txt, F.lit(r"\S+")).cast("long")
     base = documents.select(F.col(id_col), *carry, n.alias("n_tokens"))
     if materialize:
         base = base.localCheckpoint(eager=True)

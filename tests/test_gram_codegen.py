@@ -94,6 +94,49 @@ def test_simhash_empty_and_whitespace_docs_survive(tricky):
         assert rows[empty_id] == 0
 
 
+def test_token_counts_match_filter_reference(tricky):
+    # regexp_count(\S+) must equal size(filter(split(txt,\s+), !="")) and
+    # the stopword alternation must equal per-token isin counting
+    from sparktax.textops import LANG_MARKERS, quality_score, token_counts, tokens_expr
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    all_stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    toks = tokens_expr(txt)
+    ref = tricky.select(
+        "doc_id",
+        F.size(F.filter(F.split(txt, r"\s+"), lambda t: t != "")).alias("ws_ref"),
+        F.size(F.filter(toks, lambda t: t != "")).alias("nt_ref"),
+        F.size(F.filter(toks, lambda t: t.isin(all_stop))).alias("stop_ref"),
+    )
+    got_tc = {r["doc_id"]: r["ws_tokens"] for r in token_counts(tricky).collect()}
+    got_q = {
+        r["doc_id"]: (r["n_tokens"], r["stopword_ratio"])
+        for r in quality_score(tricky).collect()
+    }
+    for r in ref.collect():
+        assert got_tc[r["doc_id"]] == r["ws_ref"], r
+        nt, stop_ratio = got_q[r["doc_id"]]
+        assert nt == r["nt_ref"], r
+        want_ratio = round(r["stop_ref"] / r["nt_ref"], 6) if r["nt_ref"] else 0.0
+        assert abs(stop_ratio - want_ratio) < 1e-9, (r, stop_ratio)
+
+
+def test_stopword_regex_counts_adjacent_and_substring_tokens(spark):
+    # adjacent stopwords all count; tokens merely containing a stopword
+    # as a prefix/suffix/substring do not
+    from sparktax.textops import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, "theory lather brother"), (3, "la los lalande")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert rows[1]["stopword_ratio"] == 1.0
+    assert rows[2]["stopword_ratio"] == 0.0
+    # "la" and "los" are stopwords (fr/es); "lalande" is neither
+    assert abs(rows[3]["stopword_ratio"] - round(2 / 3, 6)) < 1e-9
+
+
 def test_fan_out_noop_when_parallel_enough(spark):
     df = spark.range(1000).repartition(4)
     assert fan_out(df, parallelism=4) is df
