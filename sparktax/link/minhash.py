@@ -169,11 +169,20 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, hasher: str = "xxhash6
     return pairs
 
 
-def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+def exact_jaccard(
+    shingles: DataFrame, pairs: DataFrame, include_zero: bool = True
+) -> DataFrame:
     """(a, b, jaccard) — exact n-gram Jaccard for each candidate pair.
 
     |A∩B| via a join on shingle restricted to candidate pairs; |A|,|B| from
     a per-id size aggregate (computed once, broadcast — it's one row per id).
+
+    ``include_zero=False`` drops pairs with an EMPTY intersection instead
+    of reporting them with jaccard 0 — those pairs then never re-join the
+    candidate table, removing one full join of the pair set from the plan.
+    Callers that filter ``jaccard >= t`` with ``t > 0`` get identical rows
+    either way (:func:`fuzzy_match_pairs` picks the mode from its
+    threshold).
     """
     sizes = shingles.groupBy("id").agg(F.count("*").alias("n_sh"))
     sa = shingles.select(F.col("id").alias("a"), "shingle")
@@ -184,9 +193,14 @@ def exact_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
+    if include_zero:
+        scored = pairs.join(inter, ["a", "b"], "left").fillna(
+            0, subset=["n_inter"]
+        )
+    else:
+        scored = inter
     return (
-        pairs.join(inter, ["a", "b"], "left")
-        .fillna(0, subset=["n_inter"])
+        scored
         .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
         .select(
@@ -218,4 +232,8 @@ def fuzzy_match_pairs(
     sh = shingle(df, text_col, id_col, n=n)
     sigs = minhash_signatures(sh, k=k, seed=seed, hasher=hasher)
     cand = lsh_candidate_pairs(sigs, bands=bands, hasher=hasher)
-    return exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
+    # a positive threshold drops zero-intersection pairs anyway — skip the
+    # left-join that would only exist to report them as jaccard 0
+    return exact_jaccard(sh, cand, include_zero=(threshold <= 0)).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -89,7 +89,12 @@ def ngram_jaccard_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    return exact_jaccard(sh, pairs).filter(F.col("jaccard") >= threshold)
+    # every candidate shares >=1 shingle by construction, so the
+    # zero-intersection left-join lane of exact_jaccard can never fire —
+    # the inner form is identical and one pair-set join cheaper
+    return exact_jaccard(sh, pairs, include_zero=False).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_near_duplicates(
